@@ -1,0 +1,256 @@
+"""Standard-Korean grapheme-to-phoneme (G2P) engine, pure Python.
+
+The reference delegates G2P to the external `g2pk2` package
+(`src/f5_tts/model/utils.py:153-199`). That package is not vendorable here, so
+this module implements the standard pronunciation rules (표준 발음법) from
+scratch as an ordered rule pipeline over decomposed jamo:
+
+  1. lexical exceptions (맛있다/멋있다 …)
+  2. palatalization      구개음화   (굳이→구지, 같이→가치, 닫히다→다치다)
+  3. ㅎ-cluster rules     격음화/ㅎ탈락 (놓고→노코, 많다→만타, 낳은→나은, 놓는→논는)
+  4. onset-ㅎ aspiration  (축하→추카, 입학→이팍, 앉히다→안치다)
+  5. liaison             연음       (옷이→오시, 값이→갑씨, 닭을→달글)
+  6. coda neutralization + cluster simplification (부엌→부억, 값→갑, 맑게→말께)
+  7. tensification       경음화     (국밥→국빱, 앉다→안따)
+  8. liquidization       유음화     (신라→실라, 칼날→칼랄)
+  9. nasalization        비음화     (국물→궁물, 독립→동닙, 담력→담녁)
+ 10. vowel adjustments   (희망→히망, 가져→가저)
+
+Output is a hangul string (pronunciation spelling), same contract as
+`g2pk2.G2p.__call__`. Eojeol (whitespace) boundaries block all sandhi rules,
+matching how the reference splits pronunciations back into eojeols
+(`model/utils.py:201-205`).
+"""
+
+from __future__ import annotations
+
+import re
+
+from korean_f5_tts_tpu.text.jamo import compose, decompose, is_hangul_syllable
+
+# -- rule tables -------------------------------------------------------------
+
+# coda neutralization (평파열음화 + 자음군 단순화) when not resyllabified
+_CODA_NEUTRAL = {
+    "ㄱ": "ㄱ", "ㄲ": "ㄱ", "ㅋ": "ㄱ", "ㄳ": "ㄱ", "ㄺ": "ㄱ",
+    "ㄴ": "ㄴ", "ㄵ": "ㄴ", "ㄶ": "ㄴ",
+    "ㄷ": "ㄷ", "ㅅ": "ㄷ", "ㅆ": "ㄷ", "ㅈ": "ㄷ", "ㅊ": "ㄷ", "ㅌ": "ㄷ", "ㅎ": "ㄷ",
+    "ㄹ": "ㄹ", "ㄼ": "ㄹ", "ㄽ": "ㄹ", "ㄾ": "ㄹ", "ㅀ": "ㄹ",
+    "ㅁ": "ㅁ", "ㄻ": "ㅁ",
+    "ㅂ": "ㅂ", "ㅍ": "ㅂ", "ㅄ": "ㅂ", "ㄿ": "ㅂ",
+    "ㅇ": "ㅇ", "": "",
+}
+
+# complex coda split for liaison: coda -> (remaining coda, migrated onset)
+_CODA_SPLIT = {
+    "ㄳ": ("ㄱ", "ㅆ"), "ㄵ": ("ㄴ", "ㅈ"), "ㄺ": ("ㄹ", "ㄱ"), "ㄻ": ("ㄹ", "ㅁ"),
+    "ㄼ": ("ㄹ", "ㅂ"), "ㄽ": ("ㄹ", "ㅆ"), "ㄾ": ("ㄹ", "ㅌ"), "ㄿ": ("ㄹ", "ㅍ"),
+    "ㅄ": ("ㅂ", "ㅆ"),
+}
+
+_TENSE = {"ㄱ": "ㄲ", "ㄷ": "ㄸ", "ㅂ": "ㅃ", "ㅅ": "ㅆ", "ㅈ": "ㅉ"}
+_ASPIRATE = {"ㄱ": "ㅋ", "ㄷ": "ㅌ", "ㅂ": "ㅍ", "ㅈ": "ㅊ"}
+
+# coda + onset-ㅎ -> (new coda, new aspirated onset)
+_CODA_H_ASPIRATE = {
+    "ㄱ": ("", "ㅋ"), "ㄲ": ("", "ㅋ"), "ㅋ": ("", "ㅋ"), "ㄺ": ("ㄹ", "ㅋ"),
+    "ㄷ": ("", "ㅌ"), "ㅅ": ("", "ㅌ"), "ㅆ": ("", "ㅌ"), "ㅌ": ("", "ㅌ"),
+    "ㅈ": ("", "ㅊ"), "ㅊ": ("", "ㅊ"), "ㄵ": ("ㄴ", "ㅊ"),
+    "ㅂ": ("", "ㅍ"), "ㅍ": ("", "ㅍ"), "ㄼ": ("ㄹ", "ㅍ"), "ㅄ": ("ㅂ", "ㅍ"),
+}
+
+# coda containing ㅎ: (reduced coda, set of onsets it aspirates)
+_H_CODAS = {"ㅎ": "", "ㄶ": "ㄴ", "ㅀ": "ㄹ"}
+
+# verb-stem sonorant-cluster tensification triggers (표준발음법 24/25항)
+_SONORANT_TENSE_CODAS = {"ㄵ", "ㄻ", "ㄼ", "ㄾ"}
+
+_Y_TO_PLAIN = {"ㅑ": "ㅏ", "ㅒ": "ㅐ", "ㅕ": "ㅓ", "ㅖ": "ㅔ", "ㅛ": "ㅗ", "ㅠ": "ㅜ"}
+
+# lexical pronunciation exceptions applied on the raw string
+_EXCEPTIONS = [
+    ("맛있", "마싯"),
+    ("멋있", "머싯"),
+    ("밟", "밥"),  # 밟다[밥따], 밟는[밤는]
+    ("넓죽", "넙죽"),
+    ("넓둥", "넙둥"),
+]
+
+
+def _split_eojeols(text: str) -> list[str]:
+    """Split keeping separators so the original spacing is reconstructed."""
+    return re.split(r"(\s+)", text)
+
+
+class _Syl:
+    __slots__ = ("cho", "jung", "jong")
+
+    def __init__(self, cho: str, jung: str, jong: str):
+        self.cho, self.jung, self.jong = cho, jung, jong
+
+
+def _decompose_eojeol(eojeol: str) -> list[_Syl | str]:
+    return [_Syl(*decompose(ch)) if is_hangul_syllable(ch) else ch for ch in eojeol]
+
+
+def _adjacent_pairs(items: list) -> list[tuple[int, int]]:
+    """Indices of adjacent hangul syllable pairs (non-hangul blocks sandhi)."""
+    out = []
+    for i in range(len(items) - 1):
+        if isinstance(items[i], _Syl) and isinstance(items[i + 1], _Syl):
+            out.append((i, i + 1))
+    return out
+
+
+def _apply_palatalization(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if b.jung != "ㅣ":
+            continue
+        if b.cho == "ㅇ":
+            if a.jong == "ㄷ":
+                a.jong, b.cho = "", "ㅈ"
+            elif a.jong == "ㅌ":
+                a.jong, b.cho = "", "ㅊ"
+            elif a.jong == "ㄾ":
+                a.jong, b.cho = "ㄹ", "ㅊ"
+        elif b.cho == "ㅎ" and a.jong in ("ㄷ", "ㅌ"):
+            # 닫히다→다치다, 묻히다→무치다
+            a.jong, b.cho = "", "ㅊ"
+
+
+def _apply_h_coda_rules(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if a.jong not in _H_CODAS:
+            continue
+        reduced = _H_CODAS[a.jong]
+        if b.cho in _ASPIRATE:
+            a.jong, b.cho = reduced, _ASPIRATE[b.cho]
+        elif b.cho == "ㅅ":
+            a.jong, b.cho = reduced, "ㅆ"
+        elif b.cho == "ㄴ":
+            a.jong = reduced if reduced else "ㄴ"  # 놓는→논는, 않네→안네, 앓네→알레(유음화 later)
+        elif b.cho == "ㅇ":
+            if reduced:  # ㄶ/ㅀ: 많아→마나, 싫어→시러
+                a.jong, b.cho = "", reduced
+            else:  # ㅎ 탈락: 낳은→나은
+                a.jong = ""
+
+
+def _apply_onset_h_aspiration(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if b.cho == "ㅎ" and a.jong in _CODA_H_ASPIRATE:
+            a.jong, b.cho = _CODA_H_ASPIRATE[a.jong]
+
+
+def _apply_liaison(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if b.cho != "ㅇ" or not a.jong:
+            continue
+        if a.jong == "ㅇ":  # ㅇ coda never resyllabifies
+            continue
+        if a.jong in _CODA_SPLIT:
+            a.jong, b.cho = _CODA_SPLIT[a.jong]
+        else:
+            b.cho = a.jong
+            a.jong = ""
+
+
+def _apply_coda_neutralization(syls: list) -> None:
+    for idx, s in enumerate(syls):
+        if not isinstance(s, _Syl) or not s.jong:
+            continue
+        nxt = syls[idx + 1] if idx + 1 < len(syls) else None
+        # 맑게→말께: ㄺ + ㄱ-onset keeps ㄹ
+        if s.jong == "ㄺ" and isinstance(nxt, _Syl) and nxt.cho == "ㄱ":
+            s.jong = "ㄹ"
+            continue
+        s.jong = _CODA_NEUTRAL.get(s.jong, s.jong)
+
+
+def _apply_tensification(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if b.cho not in _TENSE:
+            continue
+        if a.jong in ("ㄱ", "ㄷ", "ㅂ"):
+            b.cho = _TENSE[b.cho]
+        elif a.jong in _SONORANT_TENSE_CODAS and b.cho in ("ㄱ", "ㄷ", "ㅅ", "ㅈ"):
+            b.cho = _TENSE[b.cho]
+
+
+def _apply_liquidization(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if a.jong == "ㄴ" and b.cho == "ㄹ":
+            a.jong = "ㄹ"
+        elif a.jong in ("ㄹ", "ㅀ", "ㄾ") and b.cho == "ㄴ":
+            b.cho = "ㄹ"
+
+
+def _apply_nasalization(syls: list) -> None:
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        # ㄹ-onset weakening: 담력→담녁, 독립→(동닙 via next rule)
+        if b.cho == "ㄹ" and a.jong in ("ㅁ", "ㅇ", "ㄱ", "ㄷ", "ㅂ"):
+            b.cho = "ㄴ"
+        if b.cho in ("ㄴ", "ㅁ"):
+            if a.jong == "ㄱ":
+                a.jong = "ㅇ"
+            elif a.jong == "ㄷ":
+                a.jong = "ㄴ"
+            elif a.jong == "ㅂ":
+                a.jong = "ㅁ"
+
+
+def _apply_vowel_rules(syls: list) -> None:
+    for s in syls:
+        if not isinstance(s, _Syl):
+            continue
+        # 자음 + ㅢ → ㅣ (희망→히망); mandatory per 표준발음법 5항 다만3
+        if s.jung == "ㅢ" and s.cho != "ㅇ":
+            s.jung = "ㅣ"
+        # ㅈ/ㅉ/ㅊ lose the y-glide (가져→가저, 쪄→쩌, 다쳐→다처)
+        if s.cho in ("ㅈ", "ㅉ", "ㅊ") and s.jung in _Y_TO_PLAIN:
+            s.jung = _Y_TO_PLAIN[s.jung]
+
+
+_RULES = [
+    _apply_palatalization,
+    _apply_h_coda_rules,
+    _apply_onset_h_aspiration,
+    _apply_liaison,
+    _apply_coda_neutralization,
+    _apply_tensification,
+    _apply_liquidization,
+    _apply_nasalization,
+    _apply_vowel_rules,
+]
+
+
+def g2p(text: str) -> str:
+    """Text -> pronunciation string (hangul respelling), g2pk2-style contract."""
+    for src, dst in _EXCEPTIONS:
+        text = text.replace(src, dst)
+    out_parts = []
+    for part in _split_eojeols(text):
+        if not part or part.isspace():
+            out_parts.append(part)
+            continue
+        syls = _decompose_eojeol(part)
+        for rule in _RULES:
+            rule(syls)
+        out_parts.append(
+            "".join(compose(s.cho, s.jung, s.jong) if isinstance(s, _Syl) else s for s in syls)
+        )
+    return "".join(out_parts)
+
+
+class G2pKo:
+    """Callable wrapper mirroring `g2pk2.G2p` usage in the reference."""
+
+    def __call__(self, text: str) -> str:
+        return g2p(text)
