@@ -164,21 +164,25 @@ def _apply_coda_neutralization(syls: list) -> None:
         if not isinstance(s, _Syl) or not s.jong:
             continue
         nxt = syls[idx + 1] if idx + 1 < len(syls) else None
-        # 맑게→말께: ㄺ + ㄱ-onset keeps ㄹ
-        if s.jong == "ㄺ" and isinstance(nxt, _Syl) and nxt.cho == "ㄱ":
+        # 맑게→말께: ㄺ + ㄱ-onset keeps ㄹ (onset already tensed to ㄲ)
+        if s.jong == "ㄺ" and isinstance(nxt, _Syl) and nxt.cho in ("ㄱ", "ㄲ"):
             s.jong = "ㄹ"
             continue
         s.jong = _CODA_NEUTRAL.get(s.jong, s.jong)
 
 
 def _apply_tensification(syls: list) -> None:
+    # Runs BEFORE coda neutralization so cluster codas (ㄵ, ㄺ, ㄼ …) are still
+    # distinguishable: 앉다→안따 needs ㄵ, 맑게→말께 needs ㄺ.
     for i, j in _adjacent_pairs(syls):
         a, b = syls[i], syls[j]
         if b.cho not in _TENSE:
             continue
-        if a.jong in ("ㄱ", "ㄷ", "ㅂ"):
-            b.cho = _TENSE[b.cho]
-        elif a.jong in _SONORANT_TENSE_CODAS and b.cho in ("ㄱ", "ㄷ", "ㅅ", "ㅈ"):
+        neutral = _CODA_NEUTRAL.get(a.jong, a.jong)
+        if a.jong in _SONORANT_TENSE_CODAS:
+            if b.cho in ("ㄱ", "ㄷ", "ㅅ", "ㅈ"):
+                b.cho = _TENSE[b.cho]
+        elif neutral in ("ㄱ", "ㄷ", "ㅂ") and a.jong != "ㅎ":
             b.cho = _TENSE[b.cho]
 
 
@@ -223,8 +227,8 @@ _RULES = [
     _apply_h_coda_rules,
     _apply_onset_h_aspiration,
     _apply_liaison,
-    _apply_coda_neutralization,
     _apply_tensification,
+    _apply_coda_neutralization,
     _apply_liquidization,
     _apply_nasalization,
     _apply_vowel_rules,
