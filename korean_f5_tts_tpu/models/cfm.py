@@ -1,0 +1,236 @@
+"""Conditional flow matching: training loss + ODE sampler.
+
+Capability parity with reference `src/f5_tts/model/cfm.py`:
+  - forward/loss (cfm.py:231-302): random time, φ=(1−t)x0+t·x1, random span
+    infill mask, CFG drops, masked MSE.
+  - sample (cfm.py:83-229): duration floor/clamp, cond padding + mask,
+    shared-seed noise, EPSS/sway timesteps, Euler ODE with CFG-doubled
+    forward, cond splice-back, optional vocoder.
+
+TPU-first design: the whole sampler — text embedding (hoisted out of the
+loop), NFE Euler integration as `lax.scan`, CFG-packed backbone — is ONE
+jittable function over static-shape buffers; the host wrapper buckets the
+dynamic max-duration to limit recompiles (replacing both torchdiffeq and the
+TRT-engine + host-Euler split at `f5_tts_trtllm.py:296-372`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from korean_f5_tts_tpu.config import CFMConfig, DiTConfig
+from korean_f5_tts_tpu.models import dit as dit_mod
+from korean_f5_tts_tpu.utils.misc import lens_to_mask, mask_from_frac_lengths
+from korean_f5_tts_tpu.utils.timesteps import make_schedule
+
+DEFAULT_DURATION_BUCKET = 128  # frames; pad max_duration up to a multiple
+
+
+# ---------------------------------------------------------------------------
+# training loss
+# ---------------------------------------------------------------------------
+
+
+def cfm_loss(
+    params: dict,
+    arch: DiTConfig,
+    mel: jax.Array,          # [b, n, d] target mel (x1)
+    text: jax.Array,         # [b, nt] token ids, pad=-1
+    lens: jax.Array,         # [b]
+    key: jax.Array,
+    cfm: CFMConfig = CFMConfig(),
+    forward_fn=None,
+    use_dropout: bool = True,
+):
+    """Flow-matching loss; returns (loss, cond, pred). Parity: cfm.py:231-302."""
+    b, n, _ = mel.shape
+    k_frac, k_span, k_x0, k_time, k_drop1, k_drop2, k_dropout = jax.random.split(key, 7)
+
+    mask = lens_to_mask(lens, length=n)
+    frac_lengths = jax.random.uniform(
+        k_frac, (b,), minval=cfm.frac_lengths_mask[0], maxval=cfm.frac_lengths_mask[1]
+    )
+    rand_span_mask = mask_from_frac_lengths(lens, frac_lengths, k_span, n) & mask
+
+    x1 = mel
+    x0 = jax.random.normal(k_x0, x1.shape, x1.dtype)
+    time = jax.random.uniform(k_time, (b,), dtype=x1.dtype)
+    t = time[:, None, None]
+    phi = (1.0 - t) * x0 + t * x1
+    flow = x1 - x0
+
+    cond = jnp.where(rand_span_mask[..., None], 0.0, x1)
+
+    # CFG drops: scalar per batch, as in the reference (host random there)
+    drop_audio = jax.random.bernoulli(k_drop1, cfm.audio_drop_prob).astype(x1.dtype)
+    drop_both = jax.random.bernoulli(k_drop2, cfm.cond_drop_prob)
+    drop_audio = jnp.where(drop_both, 1.0, drop_audio)
+    drop_text = drop_both.astype(x1.dtype)
+
+    fwd = forward_fn or dit_mod.dit_forward
+    pred = fwd(
+        params, arch, phi, cond, text, time, mask=mask,
+        drop_audio_cond=drop_audio, drop_text=drop_text,
+        dropout_key=k_dropout if use_dropout else None,
+    )
+
+    se = (pred - flow) ** 2
+    denom = jnp.maximum(rand_span_mask.sum(), 1) * mel.shape[-1]
+    loss = jnp.where(rand_span_mask[..., None], se, 0.0).sum() / denom
+    return loss, cond, pred
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    steps: int = 32
+    cfg_strength: float = 1.0
+    sway_sampling_coef: float | None = None
+    use_epss: bool = True
+    max_duration: int = 4096
+    duration_bucket: int = DEFAULT_DURATION_BUCKET
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "arch", "cfg_strength", "steps", "use_sway", "sway_coef", "use_epss", "t_start",
+    ),
+)
+def _sample_core(
+    params: dict,
+    arch: DiTConfig,
+    step_cond: jax.Array,    # [b, N, d] cond already masked to cond region
+    text: jax.Array,         # [b, nt]
+    mask: jax.Array | None,  # [b, N] duration mask (None for b==1)
+    y0: jax.Array,           # [b, N, d] initial noise (zeroed past duration)
+    cfg_strength: float,
+    steps: int,
+    use_sway: bool,
+    sway_coef: float,
+    use_epss: bool,
+    t_start: float = 0.0,
+) -> jax.Array:
+    """jit core: text embed (once) + lax.scan Euler over the NFE schedule."""
+    N = step_cond.shape[1]
+    ts = make_schedule(
+        steps,
+        use_epss=use_epss,
+        sway_sampling_coef=sway_coef if use_sway else None,
+        t_start=t_start,
+    )
+    ts = jnp.asarray(ts, dtype=step_cond.dtype)
+
+    use_cfg = cfg_strength > 1e-5
+    text_emb_cond = dit_mod.text_embedding(params["text_embed"], arch, text, N,
+                                           drop_text=False)
+    if use_cfg:
+        text_emb_uncond = dit_mod.text_embedding(params["text_embed"], arch, text, N,
+                                                 drop_text=True)
+
+    def step(x, tt):
+        t_i, dt = tt
+        time = jnp.full((x.shape[0],), t_i, dtype=x.dtype)
+        if use_cfg:
+            pred = dit_mod.dit_forward_cfg(
+                params, arch, x, step_cond, text_emb_cond, text_emb_uncond,
+                time, cfg_strength, mask=mask,
+            )
+        else:
+            t_emb = dit_mod.timestep_embedding(params["time_embed"], time)
+            h = dit_mod.input_embedding(params, x, step_cond, text_emb_cond,
+                                        drop_audio_cond=False, audio_mask=mask)
+            pred = dit_mod.dit_backbone(params, arch, h, t_emb, mask=mask)
+        return x + dt * pred, None
+
+    dts = ts[1:] - ts[:-1]
+    x_final, _ = jax.lax.scan(step, y0, (ts[:-1], dts))
+    return x_final
+
+
+def cfm_sample(
+    params: dict,
+    arch: DiTConfig,
+    cond: np.ndarray | jax.Array,   # [b, n_cond, d] reference mel
+    text: np.ndarray | jax.Array,   # [b, nt] ids (pad=-1)
+    duration: int | np.ndarray,
+    *,
+    lens: np.ndarray | None = None,
+    steps: int = 32,
+    cfg_strength: float = 1.0,
+    sway_sampling_coef: float | None = None,
+    seed: int | None = None,
+    y0: jax.Array | None = None,
+    max_duration: int = 4096,
+    duration_bucket: int = DEFAULT_DURATION_BUCKET,
+    use_epss: bool = True,
+    no_ref_audio: bool = False,
+    edit_mask: np.ndarray | None = None,
+    vocoder=None,
+):
+    """Zero-shot sampling. Host wrapper: duration semantics, bucketing, noise.
+
+    Returns (out, None): [b, max_dur, d] mel with the conditioning region
+    spliced back (cfm.py:221-223), trimmed to the padded bucket length.
+    """
+    cond = jnp.asarray(cond)
+    text = jnp.asarray(text)
+    b, cond_seq_len, d = cond.shape
+    if lens is None:
+        lens = np.full((b,), cond_seq_len, dtype=np.int64)
+    lens = np.asarray(lens)
+
+    if isinstance(duration, int):
+        duration = np.full((b,), duration, dtype=np.int64)
+    duration = np.asarray(duration)
+    text_lens = np.asarray((text != -1).sum(axis=-1))
+    # at least prompt length + 1 so something is generated (cfm.py:135-139)
+    duration = np.maximum(np.maximum(text_lens, lens) + 1, duration)
+    duration = np.clip(duration, None, max_duration)
+    max_dur = int(duration.max())
+    # bucket to limit distinct compiled shapes
+    N = min(int(np.ceil(max_dur / duration_bucket)) * duration_bucket, max_duration)
+    N = max(N, max_dur)
+
+    cond_mask = np.arange(N)[None, :] < lens[:, None]
+    if edit_mask is not None:
+        em = np.asarray(edit_mask)
+        em = np.pad(em, ((0, 0), (0, N - em.shape[1])), constant_values=False)
+        cond_mask = cond_mask & em
+
+    cond_p = jnp.pad(cond, ((0, 0), (0, N - cond_seq_len), (0, 0)))
+    if no_ref_audio:
+        cond_p = jnp.zeros_like(cond_p)
+    step_cond = jnp.where(jnp.asarray(cond_mask)[..., None], cond_p, 0.0)
+
+    dur_mask = np.arange(N)[None, :] < duration[:, None]
+    mask = jnp.asarray(dur_mask) if b > 1 else None
+
+    if y0 is None:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        # shared noise across items (reference reseeds per item: cfm.py:196-201)
+        noise = jax.random.normal(key, (N, d), dtype=step_cond.dtype)
+        y0 = jnp.broadcast_to(noise[None], (b, N, d))
+    y0 = jnp.where(jnp.asarray(dur_mask)[..., None], y0, 0.0)
+
+    sampled = _sample_core(
+        params, arch, step_cond, text, mask, y0,
+        float(cfg_strength), int(steps),
+        sway_sampling_coef is not None,
+        float(sway_sampling_coef or 0.0),
+        bool(use_epss),
+    )
+
+    out = jnp.where(jnp.asarray(cond_mask)[..., None], cond_p, sampled)
+    if vocoder is not None:
+        out = vocoder(jnp.swapaxes(out, 1, 2))
+    return out, None

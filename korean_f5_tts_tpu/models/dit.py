@@ -1,0 +1,266 @@
+"""DiT backbone: AdaLN-zero diffusion transformer for flow matching.
+
+Capability parity with reference `src/f5_tts/model/backbones/dit.py` —
+TextEmbedding (+ConvNeXtV2 stack + absolute sinusoidal pos, optional
+zipvoice-style average upsampling, dit.py:32-115), InputEmbedding (concat
+noise/cond/text -> proj + conv pos embed, dit.py:121-140), rotary DiT blocks,
+optional long-skip, CFG-packed 2B forward (dit.py:296-305), zero-init output
+layers (dit.py:214-224).
+
+TPU-first design: pure functions over a param pytree; the text embedding is
+computed once per sampling run outside the ODE scan and passed in as a
+constant (replacing the reference's mutable text_cond/text_uncond cache,
+dit.py:244-276); rope tables are host-precomputed per static seq_len.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from korean_f5_tts_tpu.config import DiTConfig
+from korean_f5_tts_tpu.models.modules import (
+    ada_layernorm_final,
+    ada_layernorm_final_init,
+    conv_position_embedding,
+    conv_position_embedding_init,
+    convnext_v2_block,
+    convnext_v2_block_init,
+    dit_block,
+    dit_block_init,
+    embedding,
+    embedding_init,
+    linear,
+    linear_init,
+    precompute_freqs_cis,
+    rope_cos_sin,
+    timestep_embedding,
+    timestep_embedding_init,
+)
+
+PRECOMPUTE_MAX_POS = 8192  # ~87 s of 24 kHz audio at hop 256 (dit.py:46)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_text_embedding(key, cfg: DiTConfig) -> dict:
+    keys = jax.random.split(key, cfg.conv_layers + 1)
+    p = {"embed": embedding_init(keys[0], cfg.text_num_embeds + 1, cfg.text_dim_)}
+    if cfg.conv_layers > 0:
+        p["blocks"] = [
+            convnext_v2_block_init(keys[i + 1], cfg.text_dim_, cfg.text_dim_ * cfg.conv_mult)
+            for i in range(cfg.conv_layers)
+        ]
+    return p
+
+
+def init_dit(key, cfg: DiTConfig) -> dict:
+    keys = jax.random.split(key, cfg.depth + 6)
+    p = {
+        "time_embed": timestep_embedding_init(keys[0], cfg.dim),
+        "text_embed": init_text_embedding(keys[1], cfg),
+        "input_proj": linear_init(keys[2], cfg.mel_dim * 2 + cfg.text_dim_, cfg.dim),
+        "conv_pos_embed": conv_position_embedding_init(keys[3], cfg.dim),
+        "blocks": [
+            dit_block_init(keys[5 + i], cfg.dim, cfg.heads, cfg.dim_head,
+                           ff_mult=cfg.ff_mult, qk_norm=cfg.qk_norm)
+            for i in range(cfg.depth)
+        ],
+        "norm_out": ada_layernorm_final_init(keys[4], cfg.dim),
+        "proj_out": linear_init(jax.random.fold_in(keys[4], 1), cfg.dim, cfg.mel_dim),
+    }
+    if cfg.long_skip_connection:
+        p["long_skip"] = linear_init(jax.random.fold_in(keys[4], 2), cfg.dim * 2, cfg.dim,
+                                     bias=False)
+    # zero-init final modulation + output projection (dit.py:220-224)
+    p["norm_out"]["linear"]["w"] = jnp.zeros_like(p["norm_out"]["linear"]["w"])
+    p["norm_out"]["linear"]["b"] = jnp.zeros_like(p["norm_out"]["linear"]["b"])
+    p["proj_out"]["w"] = jnp.zeros_like(p["proj_out"]["w"])
+    p["proj_out"]["b"] = jnp.zeros_like(p["proj_out"]["b"])
+    return p
+
+
+# ---------------------------------------------------------------------------
+# text embedding
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _freqs_cis_table(dim: int) -> np.ndarray:
+    return precompute_freqs_cis(dim, PRECOMPUTE_MAX_POS)
+
+
+def _average_upsample(text: jax.Array, text_mask: jax.Array) -> jax.Array:
+    """Zipvoice-style late average upsampling (dit.py:54-84), vectorised.
+
+    Each of the text_len valid tokens is repeated to fill audio_len slots;
+    the last `audio_len % text_len` tokens get one extra repeat.
+    """
+    b, n, d = text.shape
+    text_lens = text_mask.sum(axis=1)  # [b]
+    audio_len = n
+
+    def one(row_text, row_mask, tl):
+        tl = jnp.maximum(tl, 1)
+        base = audio_len // tl
+        rem = audio_len % tl
+        pivot = tl - rem  # tokens < pivot repeat `base`, >= pivot repeat base+1
+        o = jnp.arange(audio_len)
+        tok = jnp.where(
+            o < pivot * base,
+            o // jnp.maximum(base, 1),
+            pivot + (o - pivot * base) // jnp.maximum(base + 1, 1),
+        )
+        tok = jnp.clip(tok, 0, tl - 1)
+        # map token ordinal -> position among valid indices
+        valid_pos = jnp.cumsum(row_mask.astype(jnp.int32)) - 1  # position ordinal per index
+        # gather: index of the tok-th valid element
+        idx_of_ord = jnp.argsort(jnp.where(row_mask, valid_pos, n + jnp.arange(n)))
+        src = idx_of_ord[tok]
+        return row_text[src]
+
+    out = jax.vmap(one)(text, text_mask, text_lens)
+    return jnp.where((text_lens > 0)[:, None, None], out, jnp.zeros_like(out))
+
+
+def text_embedding(p: dict, cfg: DiTConfig, text: jax.Array, seq_len: int,
+                   drop_text=False) -> jax.Array:
+    """[b, nt] token ids (pad=-1) -> [b, seq_len, text_dim].
+
+    Parity with reference TextEmbedding.forward (dit.py:86-115): ids shifted
+    +1 (0 = filler), truncated/padded to the mel length, optional ConvNeXt
+    stack with padding re-masking, absolute sinusoidal position.
+    drop_text may be a Python bool or traced 0/1 scalar (training CFG drop);
+    the padding mask is derived from the pre-drop ids, as in the reference.
+    """
+    text = text + 1
+    if text.shape[1] >= seq_len:
+        text = text[:, :seq_len]
+    else:
+        text = jnp.pad(text, ((0, 0), (0, seq_len - text.shape[1])))
+    text_mask = text != 0  # True where real token
+    if isinstance(drop_text, bool):
+        if drop_text:
+            text = jnp.zeros_like(text)
+    else:
+        text = jnp.where(drop_text.astype(bool), jnp.zeros_like(text), text)
+    h = embedding(p["embed"], text)
+
+    if cfg.conv_layers > 0:
+        table = jnp.asarray(_freqs_cis_table(cfg.text_dim_)[:seq_len])
+        h = h + table[None, :, :]
+        if cfg.text_mask_padding:
+            h = jnp.where(text_mask[..., None], h, 0.0)
+            for blk in p["blocks"]:
+                h = convnext_v2_block(blk, h)
+                h = jnp.where(text_mask[..., None], h, 0.0)
+        else:
+            for blk in p["blocks"]:
+                h = convnext_v2_block(blk, h)
+
+    if cfg.text_embedding_average_upsampling:
+        h = _average_upsample(h, text_mask)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# input embedding + backbone
+# ---------------------------------------------------------------------------
+
+
+def input_embedding(p: dict, x: jax.Array, cond: jax.Array, text_embed: jax.Array,
+                    drop_audio_cond=False, audio_mask: jax.Array | None = None) -> jax.Array:
+    """concat(noise, cond, text) -> proj -> +conv pos embed (dit.py:121-140).
+
+    drop_audio_cond may be a Python bool or a traced 0/1 scalar (training CFG).
+    """
+    if isinstance(drop_audio_cond, bool):
+        if drop_audio_cond:
+            cond = jnp.zeros_like(cond)
+    else:
+        cond = cond * (1.0 - drop_audio_cond).astype(cond.dtype)
+    h = linear(p["input_proj"], jnp.concatenate([x, cond, text_embed], axis=-1))
+    return conv_position_embedding(p["conv_pos_embed"], h, mask=audio_mask) + h
+
+
+@functools.lru_cache(maxsize=32)
+def _rope_table(seq_len: int, dim_head: int) -> tuple[np.ndarray, np.ndarray]:
+    return rope_cos_sin(seq_len, dim_head)
+
+
+def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
+                 mask: jax.Array | None = None,
+                 dropout_key: jax.Array | None = None) -> jax.Array:
+    """Embedded input [b, n, dim] + time emb [b, dim] -> flow pred [b, n, mel]."""
+    seq_len = h.shape[1]
+    cos, sin = _rope_table(seq_len, cfg.dim_head)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+
+    residual = h if cfg.long_skip_connection else None
+
+    block_fn = functools.partial(
+        dit_block, heads=cfg.heads, mask=mask, rope=rope,
+        pe_attn_head=cfg.pe_attn_head, attn_mask_enabled=False,
+        dropout_rate=cfg.dropout if dropout_key is not None else 0.0,
+    )
+    for i, blk in enumerate(p["blocks"]):
+        key_i = jax.random.fold_in(dropout_key, i) if dropout_key is not None else None
+        if cfg.checkpoint_activations:
+            h = jax.checkpoint(lambda hh, bb=blk, kk=key_i: block_fn(bb, hh, t_emb, key=kk))(h)
+        else:
+            h = block_fn(blk, h, t_emb, key=key_i)
+
+    if residual is not None:
+        h = linear(p["long_skip"], jnp.concatenate([h, residual], axis=-1))
+
+    h = ada_layernorm_final(p["norm_out"], h, t_emb)
+    return linear(p["proj_out"], h)
+
+
+def dit_forward(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
+                text: jax.Array, time: jax.Array,
+                mask: jax.Array | None = None,
+                drop_audio_cond=False, drop_text: bool = False,
+                dropout_key: jax.Array | None = None) -> jax.Array:
+    """Training-path forward (dit.py:278-329, cfg_infer=False)."""
+    if time.ndim == 0:
+        time = jnp.repeat(time[None], x.shape[0])
+    t_emb = timestep_embedding(p["time_embed"], time)
+    text_emb = text_embedding(p["text_embed"], cfg, text, x.shape[1], drop_text=drop_text)
+    h = input_embedding(p, x, cond, text_emb, drop_audio_cond=drop_audio_cond,
+                        audio_mask=mask)
+    return dit_backbone(p, cfg, h, t_emb, mask=mask, dropout_key=dropout_key)
+
+
+def dit_forward_cfg(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
+                    text_emb_cond: jax.Array, text_emb_uncond: jax.Array,
+                    time: jax.Array, cfg_strength: float,
+                    mask: jax.Array | None = None) -> jax.Array:
+    """Classifier-free-guided sampling step: packed 2B forward + guidance.
+
+    Parity with dit.py:296-305 + cfm.py:180-191, with text embeddings hoisted
+    out of the ODE loop (they are time-independent).
+    """
+    if time.ndim == 0:
+        time = jnp.repeat(time[None], x.shape[0])
+    t_emb = timestep_embedding(p["time_embed"], time)
+    h_cond = input_embedding(p, x, cond, text_emb_cond, drop_audio_cond=False,
+                             audio_mask=mask)
+    h_uncond = input_embedding(p, x, cond, text_emb_uncond, drop_audio_cond=True,
+                               audio_mask=mask)
+    h = jnp.concatenate([h_cond, h_uncond], axis=0)
+    t2 = jnp.concatenate([t_emb, t_emb], axis=0)
+    mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
+    out = dit_backbone(p, cfg, h, t2, mask=mask2)
+    pred, null_pred = jnp.split(out, 2, axis=0)
+    return pred + (pred - null_pred) * cfg_strength
+
+
+def count_params(p) -> int:
+    return sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(p))
