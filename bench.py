@@ -1,0 +1,92 @@
+"""Headline benchmark: single-utterance zero-shot synthesis RTF at 16 NFE.
+
+Protocol mirrors the reference's offline benchmark
+(`runtime/triton_trtllm/benchmark.py:458-470`): DiT F5TTS Base (CFG-doubled,
+16 NFE Euler) + Vocos vocoder, batch 1, measuring wall-clock per generated
+audio second. Reference baselines (BASELINE.md): 0.0394 RTF client-server /
+0.0402 offline TRT-LLM on an L20; north-star RTF <= 0.02 per v5e chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline = baseline_rtf / our_rtf (speedup factor vs the reference's best
+published number; > 1.0 means faster than reference).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.0394  # L20 Triton+TRT-LLM, concurrency 2, 16 NFE
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from korean_f5_tts_tpu.config import DiTConfig
+    from korean_f5_tts_tpu.models.cfm import _sample_core
+    from korean_f5_tts_tpu.models.dit import init_dit
+    from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+
+    compute_dtype = jnp.bfloat16
+
+    arch = DiTConfig(dim=1024, depth=22, heads=16, ff_mult=2, text_dim=512,
+                     conv_layers=4, text_num_embeds=2545)
+    vcfg = VocosConfig()
+
+    key = jax.random.PRNGKey(0)
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
+        init_dit(key, arch),
+    )
+    voc_params = jax.tree_util.tree_map(
+        lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
+        init_vocos(jax.random.PRNGKey(1), vcfg),
+    )
+
+    # 10 s of generated audio conditioned on ~4.6 s of prompt (typical CLI use)
+    hop, sr = 256, 24_000
+    cond_len, total_len = 432, 1376  # frames; total padded by sampler bucket
+    n_bucket = 1408  # 1376 -> bucket 128
+    rng = np.random.default_rng(0)
+
+    cond = jnp.asarray(rng.standard_normal((1, n_bucket, 100)).astype(np.float32)).astype(compute_dtype)
+    cond_mask = np.zeros((1, n_bucket, 1), dtype=bool)
+    cond_mask[:, :cond_len] = True
+    step_cond = jnp.where(jnp.asarray(cond_mask), cond, 0.0)
+    text = jnp.asarray(rng.integers(1, 2545, (1, 160)).astype(np.int32))
+    y0 = jax.random.normal(jax.random.PRNGKey(42), (1, n_bucket, 100), compute_dtype)
+
+    def synthesize(params, voc_params, step_cond, text, y0):
+        mel = _sample_core.__wrapped__(
+            params, arch, step_cond, text, None, y0,
+            cfg_strength=2.0, steps=16, use_sway=True, sway_coef=-1.0, use_epss=True,
+        )
+        out = jnp.where(jnp.asarray(cond_mask), step_cond, mel)
+        wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2).astype(compute_dtype), vcfg)
+        return wav
+
+    fn = jax.jit(synthesize)
+    wav = jax.block_until_ready(fn(params, voc_params, step_cond, text, y0))
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        wav = fn(params, voc_params, step_cond, text, y0)
+    jax.block_until_ready(wav)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    gen_seconds = (total_len - cond_len) * hop / sr
+    rtf = dt / gen_seconds
+    print(json.dumps({
+        "metric": "rtf_16nfe_f5base_vocos",
+        "value": round(rtf, 5),
+        "unit": "rtf (wall s / generated audio s, batch 1)",
+        "vs_baseline": round(BASELINE_RTF / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,7 @@ class UNetTConfig:
     text_mask_padding: bool = True
     qk_norm: str | None = None
     conv_layers: int = 0
+    conv_mult: int = 2
     pe_attn_head: int | None = None
     skip_connect_type: str = "concat"  # "none" | "add" | "concat"
     checkpoint_activations: bool = False

@@ -23,12 +23,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from korean_f5_tts_tpu.config import CFMConfig, DiTConfig
+from korean_f5_tts_tpu.config import CFMConfig, DiTConfig, MMDiTConfig, UNetTConfig
 from korean_f5_tts_tpu.models import dit as dit_mod
 from korean_f5_tts_tpu.utils.misc import lens_to_mask, mask_from_frac_lengths
 from korean_f5_tts_tpu.utils.timesteps import make_schedule
 
 DEFAULT_DURATION_BUCKET = 128  # frames; pad max_duration up to a multiple
+
+
+def _backbone_fns(arch):
+    """Dispatch (forward, forward_cfg, text_embedding) on the arch config type."""
+    if isinstance(arch, UNetTConfig):
+        from korean_f5_tts_tpu.models import unett as unett_mod
+
+        return unett_mod.unett_forward, unett_mod.unett_forward_cfg, dit_mod.text_embedding
+    if isinstance(arch, MMDiTConfig):
+        from korean_f5_tts_tpu.models import mmdit as mmdit_mod
+
+        def mmdit_text(p, a, text, seq_len, drop_text=False):
+            # MMDiT embeds text at its own length, not the mel length
+            return mmdit_mod.mmdit_text_embedding(p, a, text, drop_text=drop_text)
+
+        return mmdit_mod.mmdit_forward, mmdit_mod.mmdit_forward_cfg, mmdit_text
+    if isinstance(arch, DiTConfig):
+        return dit_mod.dit_forward, dit_mod.dit_forward_cfg, dit_mod.text_embedding
+    raise TypeError(f"unsupported backbone config: {type(arch)}")
 
 
 # ---------------------------------------------------------------------------
@@ -72,7 +91,7 @@ def cfm_loss(
     drop_audio = jnp.where(drop_both, 1.0, drop_audio)
     drop_text = drop_both.astype(x1.dtype)
 
-    fwd = forward_fn or dit_mod.dit_forward
+    fwd = forward_fn or _backbone_fns(arch)[0]
     pred = fwd(
         params, arch, phi, cond, text, time, mask=mask,
         drop_audio_cond=drop_audio, drop_text=drop_text,
@@ -130,27 +149,25 @@ def _sample_core(
     )
     ts = jnp.asarray(ts, dtype=step_cond.dtype)
 
+    forward, forward_cfg, text_embedding = _backbone_fns(arch)
     use_cfg = cfg_strength > 1e-5
-    text_emb_cond = dit_mod.text_embedding(params["text_embed"], arch, text, N,
-                                           drop_text=False)
+    text_emb_cond = text_embedding(params["text_embed"], arch, text, N, drop_text=False)
     if use_cfg:
-        text_emb_uncond = dit_mod.text_embedding(params["text_embed"], arch, text, N,
-                                                 drop_text=True)
+        text_emb_uncond = text_embedding(params["text_embed"], arch, text, N,
+                                         drop_text=True)
 
     def step(x, tt):
         t_i, dt = tt
         time = jnp.full((x.shape[0],), t_i, dtype=x.dtype)
         if use_cfg:
-            pred = dit_mod.dit_forward_cfg(
+            pred = forward_cfg(
                 params, arch, x, step_cond, text_emb_cond, text_emb_uncond,
                 time, cfg_strength, mask=mask,
             )
         else:
-            t_emb = dit_mod.timestep_embedding(params["time_embed"], time)
-            h = dit_mod.input_embedding(params, x, step_cond, text_emb_cond,
-                                        drop_audio_cond=False, audio_mask=mask)
-            pred = dit_mod.dit_backbone(params, arch, h, t_emb, mask=mask)
-        return x + dt * pred, None
+            pred = forward(params, arch, x, step_cond, text, time, mask=mask,
+                           drop_audio_cond=False, drop_text=False)
+        return (x + dt * pred).astype(y0.dtype), None
 
     dts = ts[1:] - ts[:-1]
     x_final, _ = jax.lax.scan(step, y0, (ts[:-1], dts))

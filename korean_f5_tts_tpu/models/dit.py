@@ -154,7 +154,7 @@ def text_embedding(p: dict, cfg: DiTConfig, text: jax.Array, seq_len: int,
 
     if cfg.conv_layers > 0:
         table = jnp.asarray(_freqs_cis_table(cfg.text_dim_)[:seq_len])
-        h = h + table[None, :, :]
+        h = h + table[None, :, :].astype(h.dtype)
         if cfg.text_mask_padding:
             h = jnp.where(text_mask[..., None], h, 0.0)
             for blk in p["blocks"]:
@@ -164,7 +164,7 @@ def text_embedding(p: dict, cfg: DiTConfig, text: jax.Array, seq_len: int,
             for blk in p["blocks"]:
                 h = convnext_v2_block(blk, h)
 
-    if cfg.text_embedding_average_upsampling:
+    if getattr(cfg, "text_embedding_average_upsampling", False):
         h = _average_upsample(h, text_mask)
     return h
 

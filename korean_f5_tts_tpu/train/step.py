@@ -1,0 +1,84 @@
+"""jit-able training step: CFM loss + optax AdamW + grad clip (+ optional EMA).
+
+Replaces the reference's Accelerate DDP inner loop
+(`model/trainer.py:370-399`): backward/all-reduce/clip/step/EMA collapse into
+one compiled function; under a Mesh the gradient all-reduce is inserted by
+XLA from the shardings (no explicit communication code).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from korean_f5_tts_tpu.config import CFMConfig, DiTConfig
+from korean_f5_tts_tpu.models.cfm import cfm_loss
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema_params: Any | None
+    step: jax.Array
+
+
+def make_optimizer(
+    learning_rate: float = 7.5e-5,
+    warmup_updates: int = 20_000,
+    total_updates: int = 1_200_000,
+    max_grad_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    """AdamW + linear warmup/decay + global-norm clip (trainer.py:141-147,323-333)."""
+    sched = optax.join_schedules(
+        [
+            optax.linear_schedule(1e-8, learning_rate, warmup_updates),
+            optax.linear_schedule(learning_rate, 1e-8, max(total_updates - warmup_updates, 1)),
+        ],
+        [warmup_updates],
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01),
+    )
+
+
+def init_train_state(params, optimizer: optax.GradientTransformation,
+                     use_ema: bool = True, ema_decay: float = 0.999) -> TrainState:
+    return TrainState(
+        params=params,
+        opt_state=optimizer.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params) if use_ema else None,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "cfm", "optimizer", "ema_decay"))
+def train_step(
+    state: TrainState,
+    batch: dict,
+    key: jax.Array,
+    arch: DiTConfig,
+    optimizer: optax.GradientTransformation,
+    cfm: CFMConfig = CFMConfig(),
+    ema_decay: float = 0.999,
+):
+    """One update on a batch {mel [b,n,d], text [b,nt], lens [b]}."""
+
+    def loss_fn(p):
+        loss, _, _ = cfm_loss(p, arch, batch["mel"], batch["text"], batch["lens"],
+                              key, cfm=cfm)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_ema = state.ema_params
+    if new_ema is not None:
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1.0 - ema_decay), new_ema, new_params
+        )
+    return TrainState(new_params, new_opt_state, new_ema, state.step + 1), loss

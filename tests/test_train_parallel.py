@@ -1,0 +1,110 @@
+"""Training-step, mesh-sharding and vocoder tests (8 virtual CPU devices)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from korean_f5_tts_tpu.config import CFMConfig, DiTConfig
+from korean_f5_tts_tpu.models.dit import init_dit
+from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+from korean_f5_tts_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from korean_f5_tts_tpu.train.step import init_train_state, make_optimizer, train_step
+
+TINY = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=8,
+                 text_num_embeds=20, text_dim=16, conv_layers=1)
+
+
+def _batch(b=4, n=32, rng=None):
+    rng = rng or np.random.default_rng(0)
+    return {
+        "mel": jnp.asarray(rng.standard_normal((b, n, 8)).astype(np.float32)),
+        "text": jnp.asarray(rng.integers(0, 20, (b, 8)).astype(np.int32)),
+        "lens": jnp.asarray(np.full((b,), n, dtype=np.int32)),
+    }
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        params = init_dit(jax.random.PRNGKey(0), TINY)
+        opt = make_optimizer(learning_rate=1e-3, warmup_updates=1, total_updates=1000)
+        state = init_train_state(params, opt)
+        batch = _batch()
+        losses = []
+        for i in range(8):
+            state, loss = train_step(state, batch, jax.random.PRNGKey(i), TINY, opt)
+            losses.append(float(loss))
+        assert all(np.isfinite(losses))
+        assert int(state.step) == 8
+        # same batch repeatedly -> loss trends down
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    def test_ema_tracks_params(self):
+        params = init_dit(jax.random.PRNGKey(0), TINY)
+        opt = make_optimizer(learning_rate=1e-2, warmup_updates=1, total_updates=100)
+        state = init_train_state(params, opt, ema_decay=0.5)
+        state1, _ = train_step(state, _batch(), jax.random.PRNGKey(0), TINY, opt,
+                               ema_decay=0.5)
+        state2, _ = train_step(state1, _batch(), jax.random.PRNGKey(1), TINY, opt,
+                               ema_decay=0.5)
+        # second step: ema2 = 0.5*ema1 + 0.5*params2
+        w_ema1 = np.asarray(state1.ema_params["input_proj"]["w"])
+        w_p2 = np.asarray(state2.params["input_proj"]["w"])
+        w_ema2 = np.asarray(state2.ema_params["input_proj"]["w"])
+        assert np.abs(w_p2 - np.asarray(params["input_proj"]["w"])).max() > 1e-5
+        np.testing.assert_allclose(w_ema2, 0.5 * w_ema1 + 0.5 * w_p2, atol=1e-6)
+
+
+class TestMesh:
+    def test_dp_tp_step_matches_single_device(self):
+        assert len(jax.devices()) >= 8, "conftest must force 8 cpu devices"
+        params = init_dit(jax.random.PRNGKey(0), TINY)
+        opt = make_optimizer(learning_rate=1e-3, warmup_updates=1, total_updates=100)
+        batch = _batch(b=8)
+
+        state = init_train_state(params, opt)
+        _, loss_single = train_step(state, batch, jax.random.PRNGKey(5), TINY, opt)
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        with mesh:
+            sp = shard_params(init_dit(jax.random.PRNGKey(0), TINY), mesh)
+            sstate = init_train_state(sp, opt)
+            sbatch = shard_batch(batch, mesh)
+            new_state, loss_sharded = train_step(sstate, sbatch, jax.random.PRNGKey(5),
+                                                 TINY, opt)
+            jax.block_until_ready(loss_sharded)
+        np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-4)
+
+    def test_tp_sharding_specs(self):
+        mesh = make_mesh(n_data=2, n_model=4)
+        params = shard_params(init_dit(jax.random.PRNGKey(0), TINY), mesh)
+        qw = params["blocks"][0]["attn"]["to_q"]["w"]
+        ow = params["blocks"][0]["attn"]["to_out"]["w"]
+        assert qw.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+        assert ow.sharding.spec == jax.sharding.PartitionSpec("model", None)
+
+
+class TestVocos:
+    def test_decode_shapes(self):
+        cfg = VocosConfig(input_channels=8, dim=16, intermediate_dim=32, num_layers=2)
+        p = init_vocos(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 12)).astype(np.float32))
+        wav = vocos_decode(p, mel, cfg)
+        # center padding: (T-1)*hop samples
+        assert wav.shape == (2, 11 * cfg.hop_length)
+        assert np.isfinite(np.asarray(wav)).all()
+
+    def test_decode_same_padding(self):
+        cfg = VocosConfig(input_channels=8, dim=16, intermediate_dim=32, num_layers=2,
+                          padding="same")
+        p = init_vocos(jax.random.PRNGKey(0), cfg)
+        mel = jnp.asarray(np.random.default_rng(1).standard_normal((1, 8, 12)).astype(np.float32))
+        wav = vocos_decode(p, mel, cfg)
+        assert np.isfinite(np.asarray(wav)).all()
+
+    def test_jit_fuses_with_sampler_output(self):
+        cfg = VocosConfig(input_channels=8, dim=16, intermediate_dim=32, num_layers=2)
+        p = init_vocos(jax.random.PRNGKey(0), cfg)
+        f = jax.jit(lambda m: vocos_decode(p, m, cfg))
+        mel = jnp.zeros((1, 8, 12))
+        assert np.isfinite(np.asarray(f(mel))).all()
