@@ -343,14 +343,14 @@ def attention_init(key, dim: int, heads: int, dim_head: int,
 
 def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                                  mask: jax.Array | None = None) -> jax.Array:
-    """[b, h, n, d] SDPA with optional [b, n] key-padding mask, softmax in fp32."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    if mask is not None:
-        neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=logits.dtype)
-        logits = jnp.where(mask[:, None, None, :], logits, neg)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    """[b, h, n, d] SDPA with optional [b, n] key-padding mask.
+
+    Dispatches to the Pallas TPU flash kernel when profitable
+    (ops/attention.py); XLA fp32-softmax path otherwise.
+    """
+    from korean_f5_tts_tpu.ops.attention import sdpa
+
+    return sdpa(q, k, v, mask)
 
 
 def _split_heads(x: jax.Array, heads: int) -> jax.Array:

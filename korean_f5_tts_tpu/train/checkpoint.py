@@ -53,7 +53,8 @@ def unflatten_tree(flat: dict[str, np.ndarray]) -> Any:
             return node
         keys = list(node.keys())
         if keys and all(re.fullmatch(r"\d+", k) for k in keys):
-            return [listify(node[str(i)]) for i in range(len(keys))]
+            # numeric keys may be sparse (pytrees with empty subtrees)
+            return [listify(node[k]) for k in sorted(keys, key=int)]
         return {k: listify(v) for k, v in node.items()}
 
     return listify(root)
@@ -65,8 +66,11 @@ def save_checkpoint(path: str, params, opt_state=None, ema_params=None,
     if ema_params is not None:
         flat.update(flatten_tree(ema_params, "ema_params"))
     if opt_state is not None:
-        flat.update(flatten_tree(jax.tree_util.tree_map(np.asarray, opt_state),
-                                 "opt_state"))
+        # optax states are tuples/namedtuples with empty subtrees; serialise
+        # leaves positionally and rebuild against the live tree structure
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        for i, leaf in enumerate(leaves):
+            flat[f"opt_leaves/{i:05d}"] = np.asarray(leaf)
     flat["update"] = np.asarray(update)
     for k, v in (extra or {}).items():
         flat[f"extra/{k}"] = np.asarray(v)
@@ -82,6 +86,9 @@ def load_checkpoint(path: str) -> dict:
     for k, v in data.items():
         head, _, rest = k.partition("/")
         groups.setdefault(head, {})[rest] = v
+    opt_leaves = groups.pop("opt_leaves", None)
+    if opt_leaves is not None:
+        out["opt_leaves"] = [opt_leaves[k] for k in sorted(opt_leaves)]
     for head, flat in groups.items():
         out[head] = unflatten_tree(flat)
     return out

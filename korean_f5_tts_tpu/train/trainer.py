@@ -1,0 +1,214 @@
+"""Trainer: epochs over frame-budgeted batches, checkpoints, logging, resume.
+
+Capability parity with reference `src/f5_tts/model/trainer.py`:
+  - sample- vs frame-based batching (`:289-319`) via DynamicBatchSampler
+  - warmup + decay LR schedule, grad clip, AdamW (`:141-147, 323-333`)
+  - EMA of params (`:107-109, 395`)
+  - checkpoint save / rotation / resume with deterministic batch skipping
+    under seed 666 (`:153-270, 337-347`)
+  - loss/lr logging via tensorboard when available (wandb has no offline
+    image here), tqdm-style progress prints
+
+TPU-first: the inner loop is ONE jitted train_step (loss+grad+allreduce+
+optimizer+EMA); data parallelism comes from the mesh passed in — batches are
+sharded on the "data" axis and XLA inserts the gradient reduction.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import numpy as np
+
+from korean_f5_tts_tpu.config import CFMConfig
+from korean_f5_tts_tpu.data.dataset import DynamicBatchSampler, collate_batch
+from korean_f5_tts_tpu.parallel.mesh import shard_batch
+from korean_f5_tts_tpu.train import checkpoint as ckpt_lib
+from korean_f5_tts_tpu.train.step import (
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    train_step,
+)
+
+
+class Trainer:
+    def __init__(
+        self,
+        params: Any,
+        arch: Any,
+        epochs: int = 1,
+        learning_rate: float = 7.5e-5,
+        num_warmup_updates: int = 20_000,
+        total_updates: int = 1_200_000,
+        save_per_updates: int = 50_000,
+        keep_last_n_checkpoints: int = -1,
+        checkpoint_path: str = "ckpts/run",
+        batch_size_per_gpu: int = 38_400,
+        batch_size_type: str = "frame",  # "frame" | "sample"
+        max_samples: int = 64,
+        grad_accumulation_steps: int = 1,
+        max_grad_norm: float = 1.0,
+        cfm: CFMConfig = CFMConfig(),
+        ema_decay: float = 0.999,
+        last_per_updates: int = 5_000,
+        log_dir: str | None = None,
+        logger: str | None = "tensorboard",
+        mesh=None,
+        vocab_char_map: dict[str, int] | None = None,
+        tokenize_fn=None,
+    ):
+        self.arch = arch
+        self.epochs = epochs
+        self.save_per_updates = save_per_updates
+        self.last_per_updates = last_per_updates
+        self.keep_last_n_checkpoints = keep_last_n_checkpoints
+        self.checkpoint_path = checkpoint_path
+        self.batch_size_per_gpu = batch_size_per_gpu
+        self.batch_size_type = batch_size_type
+        self.max_samples = max_samples
+        self.grad_accumulation_steps = grad_accumulation_steps
+        self.cfm = cfm
+        self.ema_decay = ema_decay
+        self.mesh = mesh
+        self.vocab_char_map = vocab_char_map
+        self.tokenize_fn = tokenize_fn
+
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        self.optimizer = make_optimizer(
+            learning_rate=learning_rate,
+            # reference multiplies warmup by num_processes (trainer.py:323-326)
+            warmup_updates=num_warmup_updates * n_data,
+            total_updates=total_updates,
+            max_grad_norm=max_grad_norm,
+        )
+        self.state = init_train_state(params, self.optimizer, ema_decay=ema_decay)
+
+        self.writer = None
+        if logger == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(log_dir or os.path.join(checkpoint_path, "tb"))
+            except Exception:
+                self.writer = None
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save_checkpoint(self, update: int, last: bool = False) -> str:
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+        name = "model_last.npz" if last else f"model_{update}.npz"
+        path = os.path.join(self.checkpoint_path, name)
+        ckpt_lib.save_checkpoint(
+            path,
+            jax.tree_util.tree_map(np.asarray, self.state.params),
+            opt_state=self.state.opt_state,
+            ema_params=jax.tree_util.tree_map(np.asarray, self.state.ema_params)
+            if self.state.ema_params is not None else None,
+            update=update,
+        )
+        if not last:
+            ckpt_lib.rotate_checkpoints(self.checkpoint_path, self.keep_last_n_checkpoints)
+        return path
+
+    def load_checkpoint(self, explicit: str | None = None) -> int:
+        path = ckpt_lib.resolve_resume_checkpoint(self.checkpoint_path, explicit)
+        if path is None:
+            return 0
+        data = ckpt_lib.load_checkpoint(path)
+        params = jax.tree_util.tree_map(jax.numpy.asarray, data["params"])
+        ema = data.get("ema_params")
+        if ema is not None:
+            ema = jax.tree_util.tree_map(jax.numpy.asarray, ema)
+        opt_state = self.state.opt_state
+        if "opt_leaves" in data:
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.state.opt_state),
+                [jax.numpy.asarray(x) for x in data["opt_leaves"]],
+            )
+        self.state = TrainState(params, opt_state, ema, jax.numpy.asarray(data["update"]))
+        print(f"resumed from {path} at update {data['update']}")
+        return int(data["update"])
+
+    # -- training loop ------------------------------------------------------
+
+    def _make_batches(self, dataset, seed: int | None):
+        if self.batch_size_type == "frame":
+            sampler = DynamicBatchSampler(
+                dataset, self.batch_size_per_gpu, max_samples=self.max_samples,
+                random_seed=seed, drop_residual=False,
+            )
+            return sampler
+        # sample batching: fixed-size index chunks
+        idx = np.arange(len(dataset))
+        batches = [list(idx[i: i + self.batch_size_per_gpu])
+                   for i in range(0, len(idx), self.batch_size_per_gpu)]
+
+        class _Static:
+            def __init__(self, batches):
+                self.batches = batches
+
+            def set_epoch(self, e):
+                self._e = e
+
+            def __iter__(self):
+                return iter(self.batches)
+
+            def __len__(self):
+                return len(self.batches)
+
+        return _Static(batches)
+
+    def train(self, dataset, num_workers: int = 0, resumable_with_seed: int | None = None,
+              resume_from: str | None = None, log_every: int = 10,
+              max_updates: int | None = None) -> dict:
+        start_update = self.load_checkpoint(resume_from)
+        update = start_update
+        sampler = self._make_batches(dataset, resumable_with_seed)
+        batches_per_epoch = max(len(sampler), 1)
+        start_epoch = start_update // batches_per_epoch
+        skip_batches = start_update % batches_per_epoch
+
+        key = jax.random.PRNGKey(resumable_with_seed or 0)
+        losses = []
+        t0 = time.time()
+        for epoch in range(start_epoch, self.epochs):
+            sampler.set_epoch(epoch)
+            for bi, batch_idx in enumerate(sampler):
+                if epoch == start_epoch and bi < skip_batches:
+                    continue  # deterministic resume (trainer.py:340-347)
+                items = [dataset[i] for i in batch_idx]
+                batch_np = collate_batch(items, self.vocab_char_map, self.tokenize_fn)
+                batch = {
+                    "mel": batch_np["mel"],
+                    "text": batch_np["text"],
+                    "lens": batch_np["mel_lengths"],
+                }
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                step_key = jax.random.fold_in(key, update)
+                self.state, loss = train_step(
+                    self.state, batch, step_key, self.arch, self.optimizer,
+                    self.cfm, ema_decay=self.ema_decay,
+                )
+                update += 1
+                losses.append(float(loss))
+                if update % log_every == 0:
+                    dt = time.time() - t0
+                    print(f"update {update} loss {np.mean(losses[-log_every:]):.4f} "
+                          f"({log_every / max(dt, 1e-9):.2f} it/s)")
+                    t0 = time.time()
+                    if self.writer is not None:
+                        self.writer.add_scalar("loss", float(loss), update)
+                if update % self.save_per_updates == 0:
+                    self.save_checkpoint(update)
+                if update % self.last_per_updates == 0:
+                    self.save_checkpoint(update, last=True)
+                if max_updates is not None and update - start_update >= max_updates:
+                    self.save_checkpoint(update, last=True)
+                    return {"updates": update, "losses": losses}
+        self.save_checkpoint(update, last=True)
+        return {"updates": update, "losses": losses}

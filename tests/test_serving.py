@@ -1,0 +1,142 @@
+"""Serving layer: native batcher semantics + HTTP server end-to-end on a tiny
+model."""
+
+import base64
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from korean_f5_tts_tpu.serving.native import NativeBatcher, crossfade, f32_to_i16
+
+
+class TestNativeBatcher:
+    def test_batches_by_bucket(self):
+        b = NativeBatcher(max_batch=4, max_wait_us=10_000)
+        for i in range(3):
+            b.submit(i, bucket=128)
+        b.submit(99, bucket=256)
+        seen = {}
+        for _ in range(2):
+            bucket, ids = b.next_batch(timeout_us=200_000)
+            seen[bucket] = ids
+        assert seen[128] == [0, 1, 2]
+        assert seen[256] == [99]
+
+    def test_max_batch_cap(self):
+        b = NativeBatcher(max_batch=2, max_wait_us=5_000)
+        for i in range(5):
+            b.submit(i, bucket=1)
+        sizes = []
+        for _ in range(3):
+            _, ids = b.next_batch(timeout_us=200_000)
+            sizes.append(len(ids))
+        assert sizes == [2, 2, 1]
+
+    def test_timeout_returns_empty(self):
+        b = NativeBatcher(max_batch=2, max_wait_us=1_000)
+        bucket, ids = b.next_batch(timeout_us=10_000)
+        assert ids == []
+
+    def test_wait_coalesces(self):
+        b = NativeBatcher(max_batch=8, max_wait_us=100_000)
+        b.submit(1, bucket=5)
+
+        def late_submit():
+            time.sleep(0.02)
+            b.submit(2, bucket=5)
+
+        threading.Thread(target=late_submit).start()
+        bucket, ids = b.next_batch(timeout_us=500_000)
+        assert ids == [1, 2]
+
+
+class TestPcmHelpers:
+    def test_f32_to_i16_clamps(self):
+        out = f32_to_i16(np.array([0.0, 1.5, -1.5, 0.5], np.float32))
+        assert out.tolist() == [0, 32767, -32767, 16384]
+
+    def test_crossfade_lengths(self):
+        a, b = np.ones(100, np.float32), np.zeros(80, np.float32)
+        out = crossfade(a, b, 20)
+        assert len(out) == 160
+        assert out[0] == 1.0 and out[-1] == 0.0
+        # fade region is monotone decreasing
+        fade = out[80:100]
+        assert (np.diff(fade) <= 1e-6).all()
+
+
+@pytest.fixture(scope="module")
+def tiny_server():
+    import jax
+
+    from korean_f5_tts_tpu.config import DiTConfig, ModelConfig
+    from korean_f5_tts_tpu.infer.model import TTSModel, load_model
+    from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+    from korean_f5_tts_tpu.serving.server import serve
+    from korean_f5_tts_tpu.utils.audio import save_wav
+
+    arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2, mel_dim=100,
+                     text_num_embeds=40, text_dim=16, conv_layers=1)
+    model = load_model(ModelConfig(name="tiny", backbone="DiT", arch=arch,
+                                   tokenizer="custom"), use_n2gk_plus=False)
+    model.vocab_char_map = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!")}
+    vcfg = VocosConfig(input_channels=100, dim=16, intermediate_dim=32, num_layers=1)
+    vparams = init_vocos(jax.random.PRNGKey(0), vcfg)
+    vocoder = jax.jit(lambda m: vocos_decode(vparams, m, vcfg))
+
+    httpd, service = serve(model, vocoder, host="127.0.0.1", port=0, max_batch=2,
+                           max_wait_us=2_000, nfe_step=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    # ref wav bytes
+    sr = 24_000
+    ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+    buf = io.BytesIO()
+    from scipy.io import wavfile
+
+    wavfile.write(buf, sr, (ref * 32767).astype(np.int16))
+    yield {"port": port, "ref_b64": base64.b64encode(buf.getvalue()).decode()}
+    httpd.shutdown()
+
+
+class TestHTTPServer:
+    def _post(self, port, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tts", data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req, timeout=300)
+
+    def test_health_and_stats(self, tiny_server):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{tiny_server['port']}/health", timeout=10
+        ) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{tiny_server['port']}/stats", timeout=10
+        ) as r:
+            assert "requests" in json.loads(r.read())
+
+    def test_tts_roundtrip(self, tiny_server):
+        with self._post(tiny_server["port"], {
+            "reference_audio": tiny_server["ref_b64"],
+            "reference_text": "hello there friend",
+            "target_text": "a generated sentence.",
+            "nfe_step": 2,
+        }) as resp:
+            body = resp.read()
+        assert resp.status == 200
+        assert body[:4] == b"RIFF"
+        assert len(body) > 10_000
+
+    def test_bad_request_returns_500(self, tiny_server):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            self._post(tiny_server["port"], {"nonsense": 1})
+        assert e.value.code == 500
