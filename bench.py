@@ -69,13 +69,15 @@ def main():
         return wav
 
     fn = jax.jit(synthesize)
-    wav = jax.block_until_ready(fn(params, voc_params, step_cond, text, y0))
+    # NB: on the axon relay, block_until_ready does not synchronise; a host
+    # scalar readback per iteration is the only reliable fence.
+    float(jnp.abs(fn(params, voc_params, step_cond, text, y0)).sum())
 
     n_iters = 10
     t0 = time.perf_counter()
     for _ in range(n_iters):
         wav = fn(params, voc_params, step_cond, text, y0)
-    jax.block_until_ready(wav)
+        float(jnp.abs(wav).sum())
     dt = (time.perf_counter() - t0) / n_iters
 
     gen_seconds = (total_len - cond_len) * hop / sr

@@ -52,7 +52,8 @@ def _tpu_flash(q, k, v, mask):
         # are masked inside the kernel — no [n, n] bias ever materialised
         seg = mask.astype(jnp.int32)
         segment_ids = SegmentIds(q=seg, kv=seg)
-    blk = min(512, n)
+    # blocks must divide the sequence length; n is guaranteed % 128 == 0
+    blk = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
     block_sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,

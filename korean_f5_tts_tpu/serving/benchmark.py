@@ -38,10 +38,16 @@ def run_offline_benchmark(model_obj, vocoder, n_items: int = 26,
                             cfg_strength=2.0, sway_sampling_coef=-1.0, seed=0)
         return out
 
+    def fence(x):
+        # on the axon relay block_until_ready does not synchronise; a host
+        # scalar readback is the only reliable fence
+        float(jnp.abs(x).sum())
+        return x
+
     for _ in range(warmup):
-        mel = jax.block_until_ready(dit_stage())
+        mel = fence(dit_stage())
         if vocoder is not None:
-            jax.block_until_ready(vocoder(jnp.swapaxes(mel, 1, 2)))
+            fence(vocoder(jnp.swapaxes(mel, 1, 2)))
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -49,10 +55,10 @@ def run_offline_benchmark(model_obj, vocoder, n_items: int = 26,
     dit_times, voc_times = [], []
     for _ in range(n_items):
         t0 = time.perf_counter()
-        mel = jax.block_until_ready(dit_stage())
+        mel = fence(dit_stage())
         t1 = time.perf_counter()
         if vocoder is not None:
-            jax.block_until_ready(vocoder(jnp.swapaxes(mel, 1, 2)))
+            fence(vocoder(jnp.swapaxes(mel, 1, 2)))
         t2 = time.perf_counter()
         dit_times.append(t1 - t0)
         voc_times.append(t2 - t1)
