@@ -63,16 +63,26 @@ def _tpu_flash(q, k, v, mask):
                            sm_scale=scale, block_sizes=block_sizes)
 
 
+def flash_enabled() -> bool:
+    # measured on v5e (tests/SURVEY): the legacy pallas flash kernel is slower
+    # than XLA's fused attention at n~1.4k and diverges numerically through
+    # the remote-compile relay — off by default until a vetted kernel lands
+    import os
+
+    return os.environ.get("F5_TTS_FLASH_ATTN", "0") != "0"
+
+
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
          mask: jax.Array | None = None) -> jax.Array:
     """[b, h, n, d] scaled-dot-product attention with [b, n] key-padding mask.
 
     Uses the Pallas flash kernel on TPU when shapes are tile-friendly
     (n % 128 == 0, d >= 64); falls back to the XLA path otherwise/off-TPU.
+    Set F5_TTS_FLASH_ATTN=0 to force the XLA path.
     """
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and n % 128 == 0 and d in (64, 128, 256):
+    if on_tpu and flash_enabled() and n % 128 == 0 and d in (64, 128, 256):
         try:
             return _tpu_flash(q, k, v, mask)
         except Exception:
