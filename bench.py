@@ -70,14 +70,18 @@ def main():
 
     fn = jax.jit(synthesize)
     # NB: on the axon relay, block_until_ready does not synchronise; a host
-    # scalar readback per iteration is the only reliable fence.
+    # scalar readback is the only reliable fence.
     float(jnp.abs(fn(params, voc_params, step_cond, text, y0)).sum())
 
+    # offline-throughput protocol (reference benchmark.py: total elapsed over
+    # the whole request set / total audio): dispatch all items, then drain —
+    # device executes back-to-back, host roundtrip amortises
     n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        wav = fn(params, voc_params, step_cond, text, y0)
-        float(jnp.abs(wav).sum())
+    sums = [jnp.abs(fn(params, voc_params, step_cond, text, y0)).sum()
+            for _ in range(n_iters)]
+    for s in sums:
+        float(s)
     dt = (time.perf_counter() - t0) / n_iters
 
     gen_seconds = (total_len - cond_len) * hop / sr

@@ -22,12 +22,26 @@ import jax.numpy as jnp
 
 
 def _xla_sdpa(q, k, v, mask):
+    """XLA attention. fp32 inputs keep fp32 logits (reference parity); bf16
+    inputs keep bf16 logits (halves the score-matrix HBM traffic, the main
+    cost at n~1.4k) with a fp32 max-subtracted softmax for stability."""
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    low_precision = q.dtype == jnp.bfloat16
+    if low_precision:
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    else:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
     if mask is not None:
-        neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=logits.dtype)
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min / 2, dtype=logits.dtype)
         logits = jnp.where(mask[:, None, None, :], logits, neg)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    if low_precision:
+        m = jax.lax.stop_gradient(logits.max(axis=-1, keepdims=True))
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(v.dtype)
+        probs = e / e.sum(axis=-1, keepdims=True).astype(v.dtype)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 

