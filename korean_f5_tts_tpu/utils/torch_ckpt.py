@@ -78,15 +78,18 @@ def strip_ema_prefix(sd: dict) -> dict:
 
 def merge_lora(sd: dict, alpha_over_r: float | None = None) -> dict:
     """Merge PEFT LoRA A/B pairs into base weights (utils_infer.py:198-239)."""
-    base = {k: v for k, v in sd.items() if "lora_" not in k}
+
+    def norm(k: str) -> str:
+        return k.replace("base_model.model.", "").replace("base_layer.", "")
+
+    base = {norm(k): v for k, v in sd.items() if "lora_" not in k}
     lora_a = {k: v for k, v in sd.items() if "lora_A" in k}
     for ka, a in lora_a.items():
         kb = ka.replace("lora_A", "lora_B")
         if kb not in sd:
             continue
         b = sd[kb]
-        target = ka.replace(".lora_A.weight", ".weight").replace("base_model.model.", "")
-        target = target.replace("base_layer.", "")
+        target = norm(ka.replace(".lora_A.weight", ".weight"))
         scale = alpha_over_r if alpha_over_r is not None else 1.0
         if target in base:
             base[target] = np.asarray(base[target]) + scale * (np.asarray(b) @ np.asarray(a))
