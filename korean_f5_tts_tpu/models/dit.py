@@ -250,13 +250,15 @@ def dit_forward_cfg(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
     if time.ndim == 0:
         time = jnp.repeat(time[None], x.shape[0])
     t_emb = timestep_embedding(p["time_embed"], time)
-    h_cond = input_embedding(p, x, cond, text_emb_cond, drop_audio_cond=False,
-                             audio_mask=mask)
-    h_uncond = input_embedding(p, x, cond, text_emb_uncond, drop_audio_cond=True,
-                               audio_mask=mask)
-    h = jnp.concatenate([h_cond, h_uncond], axis=0)
-    t2 = jnp.concatenate([t_emb, t_emb], axis=0)
+    # pack cond/uncond BEFORE the input embedding so the projection and the
+    # grouped position convs run once at batch 2b (better MXU occupancy than
+    # two b-sized dispatches)
+    x2 = jnp.concatenate([x, x], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    te2 = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
     mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
+    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False, audio_mask=mask2)
+    t2 = jnp.concatenate([t_emb, t_emb], axis=0)
     out = dit_backbone(p, cfg, h, t2, mask=mask2)
     pred, null_pred = jnp.split(out, 2, axis=0)
     return pred + (pred - null_pred) * cfg_strength
