@@ -56,7 +56,9 @@ def init_train_state(params, optimizer: optax.GradientTransformation,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("arch", "cfm", "optimizer", "ema_decay"))
+@functools.partial(
+    jax.jit, static_argnames=("arch", "cfm", "optimizer", "ema_decay", "compute_dtype")
+)
 def train_step(
     state: TrainState,
     batch: dict,
@@ -65,13 +67,26 @@ def train_step(
     optimizer: optax.GradientTransformation,
     cfm: CFMConfig = CFMConfig(),
     ema_decay: float = 0.999,
+    compute_dtype=None,
 ):
-    """One update on a batch {mel [b,n,d], text [b,nt], lens [b]}."""
+    """One update on a batch {mel [b,n,d], text [b,nt], lens [b]}.
+
+    compute_dtype=jnp.bfloat16 runs the forward/backward in bf16 with fp32
+    master weights and fp32 grads/optimizer (TPU mixed precision); None keeps
+    everything fp32.
+    """
 
     def loss_fn(p):
-        loss, _, _ = cfm_loss(p, arch, batch["mel"], batch["text"], batch["lens"],
+        mel = batch["mel"]
+        if compute_dtype is not None:
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(compute_dtype)
+                if x.dtype == jnp.float32 else x, p
+            )
+            mel = mel.astype(compute_dtype)
+        loss, _, _ = cfm_loss(p, arch, mel, batch["text"], batch["lens"],
                               key, cfm=cfm)
-        return loss
+        return loss.astype(jnp.float32)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)

@@ -62,7 +62,9 @@ class Trainer:
         tokenize_fn=None,
         log_samples: bool = False,
         sample_fn=None,
+        compute_dtype=None,
     ):
+        self.compute_dtype = compute_dtype
         self.arch = arch
         self.epochs = epochs
         self.save_per_updates = save_per_updates
@@ -202,6 +204,7 @@ class Trainer:
                 self.state, loss = train_step(
                     self.state, batch, step_key, self.arch, self.optimizer,
                     self.cfm, ema_decay=self.ema_decay,
+                    compute_dtype=self.compute_dtype,
                 )
                 update += 1
                 losses.append(float(loss))
