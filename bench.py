@@ -49,7 +49,7 @@ def main():
     # 10 s of generated audio conditioned on ~4.6 s of prompt (typical CLI use)
     hop, sr = 256, 24_000
     cond_len, total_len = 432, 1376  # frames; total padded by sampler bucket
-    n_bucket = 1408  # 1376 -> bucket 128
+    n_bucket = 1536  # 512-frame TPU bucket (splash attention tiles)
     rng = np.random.default_rng(0)
 
     cond = jnp.asarray(rng.standard_normal((1, n_bucket, 100)).astype(np.float32)).astype(compute_dtype)
@@ -59,9 +59,12 @@ def main():
     text = jnp.asarray(rng.integers(1, 2545, (1, 160)).astype(np.int32))
     y0 = jax.random.normal(jax.random.PRNGKey(42), (1, n_bucket, 100), compute_dtype)
 
+    # bucket padding past the requested duration must be masked in attention
+    dur_mask = jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
+
     def synthesize(params, voc_params, step_cond, text, y0):
         mel = _sample_core.__wrapped__(
-            params, arch, step_cond, text, None, y0,
+            params, arch, step_cond, text, dur_mask, y0,
             cfg_strength=2.0, steps=16, use_sway=True, sway_coef=-1.0, use_epss=True,
         )
         out = jnp.where(jnp.asarray(cond_mask), step_cond, mel)

@@ -28,7 +28,16 @@ from korean_f5_tts_tpu.models import dit as dit_mod
 from korean_f5_tts_tpu.utils.misc import lens_to_mask, mask_from_frac_lengths
 from korean_f5_tts_tpu.utils.timesteps import make_schedule
 
-DEFAULT_DURATION_BUCKET = 128  # frames; pad max_duration up to a multiple
+def _default_duration_bucket() -> int:
+    """512-frame buckets on TPU (tuned splash attention needs n % 512 == 0;
+    the padding is masked out and splash skips ~nothing since kv spans the
+    padded tail anyway); 128 elsewhere."""
+    import jax as _jax
+
+    return 512 if _jax.default_backend() not in ("cpu", "gpu") else 128
+
+
+DEFAULT_DURATION_BUCKET = 128  # frames; pad max_duration up to a multiple (CPU)
 
 
 def _backbone_fns(arch):
@@ -116,7 +125,7 @@ class SampleConfig:
     sway_sampling_coef: float | None = None
     use_epss: bool = True
     max_duration: int = 4096
-    duration_bucket: int = DEFAULT_DURATION_BUCKET
+    duration_bucket: int | None = None
 
 
 @functools.partial(
@@ -188,7 +197,7 @@ def cfm_sample(
     seed: int | None = None,
     y0: jax.Array | None = None,
     max_duration: int = 4096,
-    duration_bucket: int = DEFAULT_DURATION_BUCKET,
+    duration_bucket: int | None = None,
     use_epss: bool = True,
     no_ref_audio: bool = False,
     edit_mask: np.ndarray | None = None,
@@ -214,7 +223,9 @@ def cfm_sample(
     duration = np.maximum(np.maximum(text_lens, lens) + 1, duration)
     duration = np.clip(duration, None, max_duration)
     max_dur = int(duration.max())
-    # bucket to limit distinct compiled shapes
+    # bucket to limit distinct compiled shapes (512 on TPU for splash attn)
+    if duration_bucket is None:
+        duration_bucket = _default_duration_bucket()
     N = min(int(np.ceil(max_dur / duration_bucket)) * duration_bucket, max_duration)
     N = max(N, max_dur)
 
@@ -230,7 +241,10 @@ def cfm_sample(
     step_cond = jnp.where(jnp.asarray(cond_mask)[..., None], cond_p, 0.0)
 
     dur_mask = np.arange(N)[None, :] < duration[:, None]
-    mask = jnp.asarray(dur_mask) if b > 1 else None
+    # the reference skips the mask for b==1 (cfm.py:156-158) because it never
+    # pads a single item; shape bucketing here pads past the duration, so the
+    # mask is required whenever padding exists
+    mask = jnp.asarray(dur_mask) if (b > 1 or N > max_dur) else None
 
     if y0 is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
