@@ -103,9 +103,9 @@ class F5TTS:
         )
 
     def transcribe(self, ref_audio, language=None):
-        raise NotImplementedError(
-            "offline build: Whisper ASR weights unavailable; provide ref_text"
-        )
+        from korean_f5_tts_tpu.infer.utils_infer import transcribe
+
+        return transcribe(ref_audio, language)
 
     def export_wav(self, wav, file_wave, remove_silence: bool = False):
         save_wav(file_wave, wav, self.target_sample_rate)

@@ -49,6 +49,28 @@ fix_duration = None
 
 _ref_audio_cache: dict = {}
 _ref_text_cache: dict = {}
+_asr_backend = None
+
+
+def set_asr_backend(fn) -> None:
+    """Install a transcription backend `fn(path, language=None) -> text`."""
+    global _asr_backend
+    _asr_backend = fn
+
+
+def transcribe(ref_audio: str, language: str | None = None) -> str:
+    """ASR of a reference clip (utils_infer.py:161-192 role).
+
+    The reference downloads Whisper-large-v3-turbo; offline builds must
+    install a backend via set_asr_backend (e.g. a local Whisper checkpoint
+    through transformers).
+    """
+    if _asr_backend is None:
+        raise RuntimeError(
+            "no ASR backend installed (offline image has no Whisper weights); "
+            "call set_asr_backend(fn) or pass ref_text explicitly"
+        )
+    return _asr_backend(ref_audio, language)
 
 
 def chunk_text(text: str, max_chars: int = 135) -> list[str]:
@@ -120,10 +142,13 @@ def preprocess_ref_audio_text(
     if not ref_text.strip():
         if audio_hash in _ref_text_cache:
             ref_text = _ref_text_cache[audio_hash]
+        elif _asr_backend is not None:
+            ref_text = transcribe(ref_audio_path)
+            show_info("Using ASR transcription as ref_text.")
         else:
             raise ValueError(
-                "ref_text is empty and offline ASR is unavailable in this build; "
-                "pass the reference transcription explicitly."
+                "ref_text is empty and no ASR backend is installed "
+                "(set_asr_backend); pass the reference transcription explicitly."
             )
     _ref_text_cache[audio_hash] = ref_text
 

@@ -200,6 +200,8 @@ def cfm_sample(
     duration_bucket: int | None = None,
     use_epss: bool = True,
     no_ref_audio: bool = False,
+    duplicate_test: bool = False,
+    t_inter: float = 0.1,
     edit_mask: np.ndarray | None = None,
     vocoder=None,
 ):
@@ -253,12 +255,24 @@ def cfm_sample(
         y0 = jnp.broadcast_to(noise[None], (b, N, d))
     y0 = jnp.where(jnp.asarray(dur_mask)[..., None], y0, 0.0)
 
+    t_start = 0.0
+    if duplicate_test:
+        # inner-timestep observation mode (cfm.py:141-143, 205-209): start the
+        # ODE at t_inter from a cond-shifted state instead of pure noise
+        test_cond = np.zeros((b, N, d), np.float32)
+        span = min(cond_seq_len, max(N - cond_seq_len, 0))
+        test_cond[:, cond_seq_len: cond_seq_len + span] = np.asarray(cond)[:, :span]
+        t_start = t_inter
+        y0 = (1.0 - t_start) * y0 + t_start * jnp.asarray(test_cond, y0.dtype)
+        steps = int(steps * (1.0 - t_start))
+
     sampled = _sample_core(
         params, arch, step_cond, text, mask, y0,
         float(cfg_strength), int(steps),
         sway_sampling_coef is not None,
         float(sway_sampling_coef or 0.0),
         bool(use_epss),
+        t_start=float(t_start),
     )
 
     out = jnp.where(jnp.asarray(cond_mask)[..., None], cond_p, sampled)

@@ -176,6 +176,7 @@ def prepare(
     data_dir: str | None = None,
     pretrained_vocab: str | None = None,
     max_rows: int | None = None,
+    subset_hours: float | None = None,
 ) -> str:
     """Full pipeline; returns the output dir data/{name}_{tokenizer}."""
     data_dir = data_dir or os.environ.get("F5_TTS_DATA_DIR", "data")
@@ -185,6 +186,8 @@ def prepare(
     token_rows = tokenize_rows(rows, tokenizer, use_n2gk_plus=use_n2gk_plus,
                                use_skip_tc=use_skip_tc, legacy=legacy)
     durations = measure_durations(token_rows)
+    if subset_hours is not None:
+        token_rows, durations = subset_by_hours(token_rows, durations, subset_hours)
     if pretrained_vocab:
         # finetune flow: reuse (and verify coverage of) an existing vocab
         existing = [line.rstrip("\n") for line in
@@ -205,6 +208,23 @@ def prepare(
     return out_dir
 
 
+def subset_by_hours(rows: list[dict], durations: list[float],
+                    hours: float, seed: int = 666) -> tuple[list[dict], list[float]]:
+    """Deterministic fixed-hour subset (split_kss_metadata.py role: build
+    1h/3h/5h ablation splits)."""
+    import numpy as np
+
+    order = np.random.default_rng(seed).permutation(len(rows))
+    out_rows, out_durs, acc = [], [], 0.0
+    for i in order:
+        if acc >= hours * 3600:
+            break
+        out_rows.append(rows[i])
+        out_durs.append(durations[i])
+        acc += durations[i]
+    return out_rows, out_durs
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="f5-tts_prepare-dataset")
     p.add_argument("--corpus_root", required=True)
@@ -217,11 +237,14 @@ def main(argv=None):
     p.add_argument("--legacy", action="store_true")
     p.add_argument("--pretrained_vocab", default=None)
     p.add_argument("--max_rows", type=int, default=None)
+    p.add_argument("--subset_hours", type=float, default=None,
+                   help="keep a deterministic N-hour subset (1h/3h/5h ablations)")
     args = p.parse_args(argv)
     prepare(args.corpus_root, args.dataset_name, args.tokenizer,
             corpus_format=args.format, use_n2gk_plus=args.n2gk_plus,
             use_skip_tc=args.skip_tc, legacy=args.legacy,
-            pretrained_vocab=args.pretrained_vocab, max_rows=args.max_rows)
+            pretrained_vocab=args.pretrained_vocab, max_rows=args.max_rows,
+            subset_hours=args.subset_hours)
 
 
 if __name__ == "__main__":
