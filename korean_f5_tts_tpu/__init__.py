@@ -18,3 +18,17 @@ Layout (reference parity targets cited per-module):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy public API: `from korean_f5_tts_tpu import F5TTS` without paying
+    # jax import cost for text-only users
+    if name == "F5TTS":
+        from korean_f5_tts_tpu.api import F5TTS
+
+        return F5TTS
+    if name == "CFM":
+        from korean_f5_tts_tpu.models import cfm as CFM
+
+        return CFM
+    raise AttributeError(name)

@@ -112,15 +112,20 @@ def _splash_fn(n: int, heads: int):
 
 
 def _tpu_splash(q, k, v, mask):
-    n, h = q.shape[2], q.shape[1]
-    splash, sk = _splash_fn(n, h)
-    scale = 1.0 / math.sqrt(q.shape[-1])
+    b, h, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
     if mask is None:
-        return jax.vmap(lambda a, b, c: splash(a * scale, b, c))(q, k, v)
+        # fold batch into heads: ONE kernel launch over b*h heads (vmapping a
+        # pallas call serializes batches; folding keeps the grid saturated)
+        splash, _ = _splash_fn(n, b * h)
+        out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
+                     v.reshape(b * h, n, d))
+        return out.reshape(b, h, n, d)
+    splash, sk = _splash_fn(n, h)
     seg = mask.astype(jnp.int32)
     return jax.vmap(
-        lambda a, b, c, s: splash(a * scale, b, c,
-                                  segment_ids=sk.SegmentIds(q=s, kv=s))
+        lambda a, bb, c, s: splash(a * scale, bb, c,
+                                   segment_ids=sk.SegmentIds(q=s, kv=s))
     )(q, k, v, seg)
 
 

@@ -157,8 +157,7 @@ def make_handler(service: TTSService):
                 sr, data = _wf.read(io.BytesIO(wav_bytes))
                 if data.dtype == np.int16:
                     data = data.astype(np.float32) / 32768.0
-                ref_wav = to_mono(data.T if data.ndim == 2 else data[None, :].T
-                                  if False else (data.T if data.ndim == 2 else data))
+                ref_wav = to_mono(data.T if data.ndim == 2 else data)
                 payload = {
                     "ref_wav": np.asarray(ref_wav, np.float32),
                     "sr": int(sr),
@@ -197,6 +196,26 @@ def make_handler(service: TTSService):
     return Handler
 
 
+def warm_start(model_obj, vocoder, buckets: list[int] = (512, 1024, 1536),
+               nfe_step: int = 16) -> None:
+    """Precompile the sampler+vocoder for the serving duration buckets so the
+    first real request doesn't pay the (minutes-long on TPU) compile."""
+    import jax.numpy as jnp
+
+    from korean_f5_tts_tpu.models.cfm import cfm_sample
+
+    d = model_obj.mel.n_mel_channels
+    for n in buckets:
+        cond = np.zeros((1, min(256, n // 2), d), np.float32)
+        text = np.zeros((1, 16), np.int32)
+        out, _ = cfm_sample(model_obj.params, model_obj.arch, cond, text,
+                            duration=n, steps=nfe_step, cfg_strength=2.0,
+                            sway_sampling_coef=-1.0, seed=0, duration_bucket=n)
+        if vocoder is not None:
+            float(jnp.abs(vocoder(jnp.swapaxes(out, 1, 2))).sum())
+        print(f"warmed bucket {n}")
+
+
 def serve(model_obj, vocoder, host: str = "0.0.0.0", port: int = 8000,
           max_batch: int = 8, max_wait_us: int = 5_000, nfe_step: int = 16):
     service = TTSService(model_obj, vocoder, max_batch=max_batch,
@@ -218,6 +237,8 @@ def main(argv=None):
     parser.add_argument("--nfe_step", type=int, default=16)
     parser.add_argument("--tokenizer", default=None)
     parser.add_argument("--device", default=None)
+    parser.add_argument("--warm_buckets", type=int, nargs="*", default=[1024],
+                        help="precompile these duration buckets before serving")
     args = parser.parse_args(argv)
 
     if args.device:
@@ -234,6 +255,8 @@ def main(argv=None):
     model_obj = load_model(model_cfg, ckpt_path=args.ckpt_file,
                            vocab_file=args.vocab_file, tokenizer=args.tokenizer)
     vocoder = load_vocoder("vocos")
+    if args.warm_buckets:
+        warm_start(model_obj, vocoder, args.warm_buckets, args.nfe_step)
     httpd, _ = serve(model_obj, vocoder, port=args.port, max_batch=args.max_batch,
                      max_wait_us=args.max_wait_us, nfe_step=args.nfe_step)
     httpd.serve_forever()

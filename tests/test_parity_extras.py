@@ -44,7 +44,9 @@ class TestAsrBackendHook:
             from korean_f5_tts_tpu.utils.audio import save_wav
 
             sr = 24000
-            wav = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+            # distinctive frequency: the md5-keyed ref caches are module-global
+            # and identical sines from other tests would alias
+            wav = (0.2 * np.sin(2 * np.pi * 333 * np.arange(sr) / sr)).astype(np.float32)
             p = str(tmp_path / "r.wav")
             save_wav(p, wav, sr)
             (w, s), text = ui.preprocess_ref_audio_text(p, "", show_info=lambda *a: None)
