@@ -1,0 +1,77 @@
+"""Training-throughput benchmark: frames/second of the jitted train step.
+
+Counterpart to the reference's pretraining scale numbers (BASELINE.md:
+8 GPUs x 38,400 frames per update on A100-class). Reports frames/s for one
+chip (or the current mesh) at a given per-step frame budget, bf16 or fp32.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=9_600,
+                   help="frames per step (24GB-GPU finetune budget = 9600)")
+    p.add_argument("--seq_len", type=int, default=1_200)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--no-bf16", dest="bf16", action="store_false")
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--device", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    from korean_f5_tts_tpu.config import CFMConfig, DiTConfig
+    from korean_f5_tts_tpu.models.dit import init_dit
+    from korean_f5_tts_tpu.train.step import init_train_state, make_optimizer, train_step
+
+    batch = max(args.frames // args.seq_len, 1)
+    arch = DiTConfig(dim=1024, depth=22, heads=16, ff_mult=2, text_dim=512,
+                     conv_layers=4, text_num_embeds=2545)
+    params = init_dit(jax.random.PRNGKey(0), arch)
+    opt = make_optimizer()
+    state = init_train_state(params, opt)
+    rng = np.random.default_rng(0)
+    data = {
+        "mel": jnp.asarray(rng.standard_normal((batch, args.seq_len, 100))
+                           .astype(np.float32)),
+        "text": jnp.asarray(rng.integers(1, 2545, (batch, 256)).astype(np.int32)),
+        "lens": jnp.asarray(np.full((batch,), args.seq_len, np.int32)),
+    }
+    dtype = jnp.bfloat16 if args.bf16 else None
+
+    state, loss = train_step(state, data, jax.random.PRNGKey(1), arch, opt,
+                             CFMConfig(), compute_dtype=dtype)
+    float(loss)  # fence (relay block_until_ready doesn't synchronise)
+
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(args.iters):
+        state, loss = train_step(state, data, jax.random.PRNGKey(i), arch, opt,
+                                 CFMConfig(), compute_dtype=dtype)
+        losses.append(loss)
+    for l in losses:
+        float(l)
+    dt = (time.perf_counter() - t0) / args.iters
+    frames = batch * args.seq_len
+    print(json.dumps({
+        "metric": "train_frames_per_s",
+        "value": round(frames / dt, 1),
+        "unit": f"mel frames/s per chip (batch {batch} x {args.seq_len}, "
+                f"{'bf16' if args.bf16 else 'fp32'})",
+        "step_ms": round(dt * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,13 +67,27 @@ _SONORANT_TENSE_CODAS = {"ㄵ", "ㄻ", "ㄼ", "ㄾ"}
 
 _Y_TO_PLAIN = {"ㅑ": "ㅏ", "ㅒ": "ㅐ", "ㅕ": "ㅓ", "ㅖ": "ㅔ", "ㅛ": "ㅗ", "ㅠ": "ㅜ"}
 
-# lexical pronunciation exceptions applied on the raw string
+# lexical pronunciation exceptions applied on the raw string.
+# includes common ㄴ-insertion compounds (표준발음법 29항 needs morpheme
+# boundaries, which a rule engine without a lexicon cannot detect)
 _EXCEPTIONS = [
     ("맛있", "마싯"),
     ("멋있", "머싯"),
     ("밟", "밥"),  # 밟다[밥따], 밟는[밤는]
     ("넓죽", "넙죽"),
     ("넓둥", "넙둥"),
+    ("꽃잎", "꼰닙"),
+    ("나뭇잎", "나문닙"),
+    ("솜이불", "솜니불"),
+    ("색연필", "색년필"),
+    ("한여름", "한녀름"),
+    ("식용유", "시굥뉴"),
+    ("알약", "알냑"),  # ㄴ-insert then 유음화 -> 알략
+    ("물약", "물냑"),
+    ("담요", "담뇨"),
+    ("맨입", "맨닙"),
+    ("늑막염", "늑막념"),
+    ("콩엿", "콩녓"),
 ]
 
 

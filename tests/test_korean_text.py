@@ -71,6 +71,9 @@ G2P_GOLDENS = [
     ("종이", "종이"),          # ㅇ coda blocks liaison
     ("밟다", "밥따"),          # lexical exception
     ("영어 공부", "영어 공부"),  # space blocks sandhi
+    ("꽃잎", "꼰닙"),          # ㄴ-insertion (lexical)
+    ("알약", "알략"),          # ㄴ-insertion + liquidization
+    ("색연필", "생년필"),      # ㄴ-insertion + nasalization
     ("한국 사람", "한국 싸람") if False else ("하나", "하나"),
 ]
 
