@@ -82,16 +82,88 @@ class TTSService:
             if not items:
                 continue
             t0 = time.perf_counter()
-            for item in items:  # synthesis is batched inside cfm_sample per chunk
-                try:
-                    item.result = self._synthesize(item.payload)
-                except Exception as e:  # deliver errors to the waiting request
-                    item.error = repr(e)
+            try:
+                if len(items) > 1:
+                    self._synthesize_batch(items, bucket)
+                else:
+                    items[0].result = self._synthesize(items[0].payload)
+            except Exception as e:  # batch-level failure: report to all
+                for item in items:
+                    if item.result is None and item.error is None:
+                        item.error = repr(e)
+            for item in items:
                 item.event.set()
             dt = (time.perf_counter() - t0) * 1e3
             self.stats["batches"] += 1
             self.stats["batch_sizes"].append(len(items))
             self.stats["latency_ms"].append(dt / max(len(items), 1))
+
+    def _synthesize_batch(self, items: list[_Pending], bucket: int) -> None:
+        """True batched synthesis: one cfm_sample over the whole batch with
+        per-item lens/durations (the role Triton's dynamic batcher + batched
+        TRT engine played). Single-chunk texts only; long texts fall back to
+        the chunked per-item path."""
+        import jax.numpy as jnp
+
+        from korean_f5_tts_tpu.infer.utils_infer import hop_length, target_rms, target_sample_rate
+        from korean_f5_tts_tpu.models.cfm import cfm_sample
+        from korean_f5_tts_tpu.text.vocab import list_str_to_idx, tokenize_text
+        from korean_f5_tts_tpu.utils import audio as au
+
+        mels, texts, durations, rms_vals = [], [], [], []
+        for it in items:
+            p = it.payload
+            wav = au.to_mono(np.asarray(p["ref_wav"], np.float32))
+            r = au.rms(wav)
+            rms_vals.append(r)
+            if 0 < r < target_rms:
+                wav = wav * (target_rms / r)
+            if p["sr"] != target_sample_rate:
+                wav = au.resample(wav, p["sr"], target_sample_rate)
+            mel = self.model.mel_of_wav(wav)
+            mels.append(mel)
+            ref_text = p["ref_text"]
+            if ref_text and len(ref_text[-1].encode()) == 1:
+                ref_text += " "
+            texts.append(ref_text + p["target_text"])
+            ref_len = mel.shape[0]
+            ratio = len(p["target_text"].encode()) / max(len(ref_text.encode()), 1)
+            durations.append(ref_len + int(ref_len * ratio))
+
+        d = self.model.mel.n_mel_channels
+        max_ref = max(m.shape[0] for m in mels)
+        cond = np.zeros((len(items), max_ref, d), np.float32)
+        for i, m in enumerate(mels):
+            cond[i, : m.shape[0]] = m
+        lens = np.array([m.shape[0] for m in mels])
+        token_lists = tokenize_text(
+            texts, tokenizer_type=self.model.tokenizer_type,
+            vocab=self.model.vocab_char_map,
+            use_n2gk_plus=self.model.use_n2gk_plus,
+            use_skip_tc=self.model.use_skip_tc,
+        )
+        text_ids = list_str_to_idx(token_lists, self.model.vocab_char_map or {" ": 0})
+        p0 = items[0].payload
+        out, _ = cfm_sample(
+            self.model.params, self.model.arch, cond, text_ids,
+            np.array(durations), lens=lens,
+            steps=int(p0.get("nfe_step", self.nfe_step)),
+            cfg_strength=float(p0.get("cfg_strength", 2.0)),
+            sway_sampling_coef=float(p0.get("sway_sampling_coef", -1.0)),
+            seed=p0.get("seed"),
+        )
+        out = np.asarray(out, np.float32)
+        for i, it in enumerate(items):
+            gen = out[i: i + 1, lens[i]: durations[i], :]
+            mel_out = np.swapaxes(gen, 1, 2)
+            if self.vocoder is not None:
+                wav = np.asarray(self.vocoder(jnp.asarray(mel_out))).reshape(-1)
+            else:
+                wav = np.zeros(mel_out.shape[-1] * hop_length, np.float32)
+            if 0 < rms_vals[i] < target_rms:
+                wav = wav * (rms_vals[i] / target_rms)
+            it.result = (wav, target_sample_rate)
+            self.stats["requests"] += 1
 
     def _synthesize(self, p: dict) -> tuple[np.ndarray, int]:
         ref_wav, sr = p["ref_wav"], p["sr"]
