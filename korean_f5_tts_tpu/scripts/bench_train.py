@@ -22,6 +22,11 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--no-bf16", dest="bf16", action="store_false")
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--remat", action="store_true", default=True,
+                   help="activation checkpointing per DiT block (needed to fit "
+                        "large frame budgets in 16GB HBM)")
+    p.add_argument("--no-remat", dest="remat", action="store_false")
+    p.add_argument("--no-ema", dest="ema", action="store_false", default=True)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
 
@@ -37,10 +42,11 @@ def main(argv=None):
 
     batch = max(args.frames // args.seq_len, 1)
     arch = DiTConfig(dim=1024, depth=22, heads=16, ff_mult=2, text_dim=512,
-                     conv_layers=4, text_num_embeds=2545)
+                     conv_layers=4, text_num_embeds=2545,
+                     checkpoint_activations=args.remat)
     params = init_dit(jax.random.PRNGKey(0), arch)
     opt = make_optimizer()
-    state = init_train_state(params, opt)
+    state = init_train_state(params, opt, use_ema=args.ema)
     rng = np.random.default_rng(0)
     data = {
         "mel": jnp.asarray(rng.standard_normal((batch, args.seq_len, 100))
