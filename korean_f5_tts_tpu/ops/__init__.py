@@ -1,3 +1,4 @@
+from korean_f5_tts_tpu.ops.attention import sdpa
 from korean_f5_tts_tpu.ops.mel import (
     MelConfig,
     istft,
@@ -11,5 +12,6 @@ __all__ = [
     "istft",
     "log_mel_spectrogram",
     "mel_filterbank",
+    "sdpa",
     "stft_spectrogram",
 ]
