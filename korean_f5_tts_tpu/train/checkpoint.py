@@ -115,6 +115,30 @@ def rotate_checkpoints(ckpt_dir: str, keep_last_n: int) -> None:
         os.remove(os.path.join(ckpt_dir, f))
 
 
+def save_checkpoint_orbax(path: str, params, opt_state=None, ema_params=None,
+                          update: int = 0) -> None:
+    """Orbax backend: sharded/multi-host-safe checkpointing of the same
+    bundle. Use for pjit-sharded params on real pods; .npz stays the default
+    single-host format."""
+    import orbax.checkpoint as ocp
+
+    bundle = {"params": params, "update": update}
+    if ema_params is not None:
+        bundle["ema_params"] = ema_params
+    if opt_state is not None:
+        bundle["opt_leaves"] = jax.tree_util.tree_leaves(opt_state)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), bundle, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
 def resolve_resume_checkpoint(ckpt_dir: str, explicit: str | None = None) -> str | None:
     """Load precedence: explicit -> model_last -> highest step -> pretrained
     (trainer.py:197-220)."""

@@ -204,3 +204,21 @@ class TestLoRA:
         )
         assert not np.allclose(np.asarray(merged["input_proj"]["w"]),
                                np.asarray(params["input_proj"]["w"]))
+
+
+class TestOrbaxBackend:
+    def test_roundtrip(self, tmp_path):
+        from korean_f5_tts_tpu.train.checkpoint import (
+            load_checkpoint_orbax,
+            save_checkpoint_orbax,
+        )
+
+        tree = {"a": np.ones((4, 4), np.float32),
+                "blocks": [{"w": np.arange(6.0).reshape(2, 3)}]}
+        p = str(tmp_path / "ck1")
+        save_checkpoint_orbax(p, tree, update=42)
+        out = load_checkpoint_orbax(p)
+        assert out["update"] == 42
+        np.testing.assert_array_equal(out["params"]["a"], tree["a"])
+        np.testing.assert_array_equal(out["params"]["blocks"][0]["w"],
+                                      tree["blocks"][0]["w"])
