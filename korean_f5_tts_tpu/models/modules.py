@@ -41,6 +41,10 @@ def linear_init(key, d_in: int, d_out: int, bias: bool = True) -> dict:
 
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
+    if "w_int8" in p:  # opt-in quantized layout (models/quant.py)
+        from korean_f5_tts_tpu.models.quant import qlinear
+
+        return qlinear(p, x)
     y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
