@@ -53,17 +53,18 @@ def qlinear(p: dict, x: jax.Array) -> jax.Array:
     if on_tpu and m % 256 == 0 and n % 512 == 0:
         from korean_f5_tts_tpu.ops.qmatmul import qmatmul
 
-        y = qmatmul(xf, p["w_int8"], p["w_scale"]).astype(jnp.float32)
-    else:
-        x_scale = jnp.maximum(jnp.abs(xf).max(axis=-1, keepdims=True),
-                              1e-6).astype(jnp.float32) / 127.0
-        x_q = jnp.clip(jnp.rint(xf.astype(jnp.float32) / x_scale),
-                       -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            x_q, p["w_int8"], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        y = acc.astype(jnp.float32) * x_scale * p["w_scale"][None, :]
+        # bias fused into the kernel epilogue
+        y = qmatmul(xf, p["w_int8"], p["w_scale"], bias=p.get("b"))
+        return y.reshape(*orig_shape[:-1], n)
+    x_scale = jnp.maximum(jnp.abs(xf).max(axis=-1, keepdims=True),
+                          1e-6).astype(jnp.float32) / 127.0
+    x_q = jnp.clip(jnp.rint(xf.astype(jnp.float32) / x_scale),
+                   -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_q, p["w_int8"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * x_scale * p["w_scale"][None, :]
     if "b" in p:
         y = y + p["b"].astype(jnp.float32)
     return y.astype(x.dtype).reshape(*orig_shape[:-1], n)
