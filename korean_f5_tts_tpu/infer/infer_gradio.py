@@ -107,7 +107,38 @@ def build_app(model_name: str = DEFAULT_TTS_MODEL, ckpt_file: str = "",
         with gr.Tab("Multi-Speech-Type"):
             gr.Markdown("Mark segments as `{Style} text...`; add one reference "
                         "per style below.")
-            # style rows + synthesis wired through synthesize_segments
+            style_names = gr.Textbox(label="Styles (comma-separated)",
+                                     value="Regular,Shouting")
+            style_audios = gr.File(label="One reference wav per style",
+                                   file_count="multiple", type="filepath")
+            style_texts = gr.Textbox(label="Reference texts (one per line)", lines=3)
+            multi_text = gr.Textbox(label="Script with {Style} tags", lines=6)
+            multi_nfe = gr.Slider(4, 64, 32, step=2, label="NFE steps")
+            multi_out = gr.Audio(label="Output")
+
+            def multi_tts(names, files, texts, script, nfe_step):
+                from korean_f5_tts_tpu.utils.audio import load_wav, to_mono
+
+                names = [n.strip() for n in names.split(",") if n.strip()]
+                texts_list = [t.strip() for t in (texts or "").splitlines()]
+                voices = {}
+                for i, name in enumerate(names):
+                    if files and i < len(files):
+                        wav, sr = load_wav(files[i])
+                        voices[name] = {
+                            "ref_wav": to_mono(wav), "sr": sr,
+                            "ref_text": texts_list[i] if i < len(texts_list) else "",
+                        }
+                segments = parse_speechtypes_text(script)
+                wav, sr = synthesize_segments(segments, voices, model_obj, vocoder,
+                                              nfe_step=int(nfe_step))
+                return (sr, wav)
+
+            gr.Button("Synthesize script", variant="primary").click(
+                multi_tts,
+                [style_names, style_audios, style_texts, multi_text, multi_nfe],
+                multi_out,
+            )
         with gr.Tab("Voice Chat"):
             gr.Markdown("Voice chat needs a local chat LLM + ASR checkpoint; "
                         "unavailable in offline builds.")

@@ -91,3 +91,52 @@ def edit_speech(
     if vocoder is not None:
         return np.asarray(vocoder(jnp.asarray(np.swapaxes(out, 1, 2)))).reshape(-1)
     return out[0]
+
+
+def main(argv=None):
+    """CLI: regenerate time spans of a wav (reference speech_edit.py script role)."""
+    import argparse
+
+    p = argparse.ArgumentParser(prog="f5-tts_speech-edit")
+    p.add_argument("--model", default="F5TTS_v1_Base")
+    p.add_argument("--ckpt_file", default=None)
+    p.add_argument("--vocab_file", default=None)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--wav", required=True)
+    p.add_argument("--orig_text", required=True)
+    p.add_argument("--target_text", required=True)
+    p.add_argument("--edit_spans", required=True,
+                   help="start:end second pairs, comma separated (e.g. 0.5:1.2,2.0:2.4)")
+    p.add_argument("--fix_durations", default=None,
+                   help="re-timed span lengths in seconds, comma separated")
+    p.add_argument("--output", default="edited.wav")
+    p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--device", default=None)
+    args = p.parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    from korean_f5_tts_tpu.api import load_vocoder
+    from korean_f5_tts_tpu.config import preset_model_config
+    from korean_f5_tts_tpu.infer.model import load_model
+    from korean_f5_tts_tpu.utils.audio import load_wav, save_wav, to_mono
+
+    spans = [tuple(float(x) for x in s.split(":")) for s in args.edit_spans.split(",")]
+    fixes = ([float(x) for x in args.fix_durations.split(",")]
+             if args.fix_durations else None)
+    model_obj = load_model(preset_model_config(args.model), ckpt_path=args.ckpt_file,
+                           vocab_file=args.vocab_file, tokenizer=args.tokenizer)
+    vocoder = load_vocoder("vocos")
+    wav, sr = load_wav(args.wav)
+    out = edit_speech(model_obj, to_mono(wav), args.orig_text, args.target_text,
+                      spans, fix_durations_s=fixes, nfe_step=args.nfe_step,
+                      seed=args.seed, vocoder=vocoder)
+    save_wav(args.output, out, model_obj.mel.target_sample_rate)
+    print(args.output)
+
+
+if __name__ == "__main__":
+    main()
