@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from korean_f5_tts_tpu.models.cfm import cfm_sample
-from korean_f5_tts_tpu.text.vocab import list_str_to_idx, tokenize_text
+from korean_f5_tts_tpu.text.vocab import list_str_to_idx, list_str_to_tensor, tokenize_text
 from korean_f5_tts_tpu.utils import audio as audio_utils
 
 # -- inference defaults (reference utils_infer.py:62-75) ---------------------
@@ -264,7 +264,11 @@ def infer_batch_process(
                 ref_audio_len / ref_text_len * gen_text_len / local_speed
             )
 
-        text_ids = list_str_to_idx(final_text_list, model_obj.vocab_char_map)
+        if model_obj.vocab_char_map is not None:
+            text_ids = list_str_to_idx(final_text_list, model_obj.vocab_char_map)
+        else:
+            # no vocab: utf-8 byte tokenizer fallback (cfm.py:119-124)
+            text_ids = list_str_to_tensor(["".join(t) for t in final_text_list])
         generated, _ = cfm_sample(
             model_obj.params, model_obj.arch,
             ref_mel[None], text_ids, duration,
