@@ -132,3 +132,18 @@ class TestEndToEnd:
         assert os.path.exists(produced)
         wav, sr = au.load_wav(produced)
         assert sr == 24000 and wav.shape[-1] > 1000
+
+
+class TestFixDuration:
+    def test_fix_duration_controls_length(self, tiny_setup):
+        (wav_ref, sr), ref_text = preprocess_ref_audio_text(
+            tiny_setup["ref"], "hello there"
+        )
+        wav, out_sr, spec = infer_process(
+            (wav_ref, sr), ref_text, "abc.", tiny_setup["model"], vocoder=None,
+            nfe_step=2, fix_duration=4.0, show_info=lambda *a: None,
+        )
+        # total 4.0s = ref + gen; generated = 4.0s - ref_len
+        ref_frames = int(len(wav_ref) / 256)
+        expected_gen_frames = int(4.0 * 24000 / 256) - ref_frames
+        assert abs(spec.shape[1] - expected_gen_frames) <= 2
