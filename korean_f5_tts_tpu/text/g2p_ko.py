@@ -88,6 +88,17 @@ _EXCEPTIONS = [
     ("맨입", "맨닙"),
     ("늑막염", "늑막념"),
     ("콩엿", "콩녓"),
+    # ㄴ+ㄹ -> ㄴㄴ lexical exceptions to 유음화 (표준발음법 20항 다만)
+    ("의견란", "의견난"),
+    ("임진란", "임진난"),
+    ("생산량", "생산냥"),
+    ("결단력", "결단녁"),
+    ("공권력", "공꿘녁"),
+    ("상견례", "상견녜"),
+    ("횡단로", "횡단노"),
+    ("이원론", "이원논"),
+    ("입원료", "이붠뇨"),
+    ("구근류", "구근뉴"),
 ]
 
 

@@ -72,6 +72,8 @@ G2P_GOLDENS = [
     ("밟다", "밥따"),          # lexical exception
     ("영어 공부", "영어 공부"),  # space blocks sandhi
     ("꽃잎", "꼰닙"),          # ㄴ-insertion (lexical)
+    ("의견란", "의견난"),      # 유음화 exception (ㄴ+ㄹ -> ㄴㄴ)
+    ("생산량", "생산냥"),
     ("알약", "알략"),          # ㄴ-insertion + liquidization
     ("색연필", "생년필"),      # ㄴ-insertion + nasalization
     ("한국 사람", "한국 싸람") if False else ("하나", "하나"),
