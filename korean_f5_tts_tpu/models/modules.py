@@ -373,9 +373,24 @@ def attention(p: dict, x: jax.Array, heads: int,
               pe_attn_head: int | None = None,
               attn_mask_enabled: bool = True) -> jax.Array:
     """Self-attention used by DiTBlock (modules.py:445-544)."""
-    q = _split_heads(linear(p["to_q"], x), heads)
-    k = _split_heads(linear(p["to_k"], x), heads)
-    v = _split_heads(linear(p["to_v"], x), heads)
+    if "w" in p["to_q"] and "w" in p["to_k"] and "w" in p["to_v"]:
+        # fuse qkv into one matmul; the weight concat is loop-invariant and
+        # hoisted out of the sampling scan by XLA
+        wqkv = jnp.concatenate(
+            [p["to_q"]["w"], p["to_k"]["w"], p["to_v"]["w"]], axis=1
+        ).astype(x.dtype)
+        bqkv = jnp.concatenate(
+            [p["to_q"]["b"], p["to_k"]["b"], p["to_v"]["b"]]
+        ).astype(x.dtype)
+        qkv = x @ wqkv + bqkv
+        inner = p["to_q"]["w"].shape[1]
+        q = _split_heads(qkv[..., :inner], heads)
+        k = _split_heads(qkv[..., inner: 2 * inner], heads)
+        v = _split_heads(qkv[..., 2 * inner:], heads)
+    else:  # quantized or bias-less layouts use the per-projection path
+        q = _split_heads(linear(p["to_q"], x), heads)
+        k = _split_heads(linear(p["to_k"], x), heads)
+        v = _split_heads(linear(p["to_v"], x), heads)
     if "q_norm" in p:
         q = rmsnorm(p["q_norm"], q)
         k = rmsnorm(p["k_norm"], k)
