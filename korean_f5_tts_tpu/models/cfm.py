@@ -164,6 +164,23 @@ def _sample_core(
     if use_cfg:
         text_emb_uncond = text_embedding(params["text_embed"], arch, text, N,
                                          drop_text=True)
+    dts = ts[1:] - ts[:-1]
+
+    if use_cfg and isinstance(arch, DiTConfig):
+        # hoist ALL time-dependent modulations out of the scan: they are
+        # batch-independent functions of the static schedule
+        mods, mod_final, _ = dit_mod.precompute_step_modulations(params, arch, ts[:-1])
+
+        def step_premod(x, xs):
+            dt, mods_s, mod_final_s = xs
+            pred = dit_mod.dit_forward_cfg_premod(
+                params, arch, x, step_cond, text_emb_cond, text_emb_uncond,
+                mods_s, mod_final_s, cfg_strength, mask=mask,
+            )
+            return (x + dt * pred).astype(y0.dtype), None
+
+        x_final, _ = jax.lax.scan(step_premod, y0, (dts, mods, mod_final))
+        return x_final
 
     def step(x, tt):
         t_i, dt = tt
@@ -178,7 +195,6 @@ def _sample_core(
                            drop_audio_cond=False, drop_text=False)
         return (x + dt * pred).astype(y0.dtype), None
 
-    dts = ts[1:] - ts[:-1]
     x_final, _ = jax.lax.scan(step, y0, (ts[:-1], dts))
     return x_final
 

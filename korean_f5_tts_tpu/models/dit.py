@@ -238,6 +238,80 @@ def dit_forward(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
     return dit_backbone(p, cfg, h, t_emb, mask=mask, dropout_key=dropout_key)
 
 
+def precompute_step_modulations(p: dict, cfg: DiTConfig, ts: jax.Array):
+    """AdaLN modulations for a static timestep schedule, computed once.
+
+    The modulation vectors depend only on t (broadcast over batch), so for the
+    sampling scan they can be batched into one matmul per projection instead
+    of 23 tiny latency-bound [b, dim] x [dim, 6*dim] matmuls per step.
+    Returns (mods [S, depth, 6*dim], mod_final [S, 2*dim], t_embs [S, dim]).
+    """
+    from korean_f5_tts_tpu.models.modules import linear, timestep_embedding
+
+    t_embs = timestep_embedding(p["time_embed"], ts)  # [S, dim]
+    silu_t = jax.nn.silu(t_embs)
+    mods = jnp.stack(
+        [linear(blk["attn_norm"]["linear"], silu_t) for blk in p["blocks"]], axis=1
+    )  # [S, depth, 6*dim]
+    mod_final = linear(p["norm_out"]["linear"], silu_t)  # [S, 2*dim]
+    return mods, mod_final, t_embs
+
+
+def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
+                        mods: jax.Array, mod_final: jax.Array,
+                        mask: jax.Array | None = None) -> jax.Array:
+    """Backbone with precomputed per-block modulations (one sampling step).
+
+    mods: [depth, 6*dim] (shared across the batch), mod_final: [2*dim].
+    """
+    from korean_f5_tts_tpu.models.modules import (
+        attention as attn_fn,
+        feedforward,
+        layernorm,
+    )
+
+    seq_len = h.shape[1]
+    cos, sin = _rope_table(seq_len, cfg.dim_head)
+    rope = (jnp.asarray(cos), jnp.asarray(sin))
+    residual = h if cfg.long_skip_connection else None
+
+    for i, blk in enumerate(p["blocks"]):
+        e = mods[i][None, :].astype(h.dtype)  # [1, 6*dim]
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            e, 6, axis=-1
+        )
+        norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,
+                           pe_attn_head=cfg.pe_attn_head, attn_mask_enabled=False)
+        h = h + gate_msa[:, None] * attn_out
+        norm = layernorm({}, h, eps=1e-6) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        h = h + gate_mlp[:, None] * feedforward(blk["ff"], norm)
+
+    if residual is not None:
+        h = linear(p["long_skip"], jnp.concatenate([h, residual], axis=-1))
+
+    ef = mod_final[None, :].astype(h.dtype)
+    scale, shift = jnp.split(ef, 2, axis=-1)
+    h = layernorm({}, h, eps=1e-6) * (1 + scale)[:, None, :] + shift[:, None, :]
+    return linear(p["proj_out"], h)
+
+
+def dit_forward_cfg_premod(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
+                           text_emb_cond: jax.Array, text_emb_uncond: jax.Array,
+                           mods: jax.Array, mod_final: jax.Array,
+                           cfg_strength: float,
+                           mask: jax.Array | None = None) -> jax.Array:
+    """CFG step with precomputed modulations (sampling-scan body)."""
+    x2 = jnp.concatenate([x, x], axis=0)
+    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+    te2 = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
+    mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
+    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False, audio_mask=mask2)
+    out = dit_backbone_premod(p, cfg, h, mods, mod_final, mask=mask2)
+    pred, null_pred = jnp.split(out, 2, axis=0)
+    return pred + (pred - null_pred) * cfg_strength
+
+
 def dit_forward_cfg(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
                     text_emb_cond: jax.Array, text_emb_uncond: jax.Array,
                     time: jax.Array, cfg_strength: float,
