@@ -199,6 +199,24 @@ class Trainer:
                     "lens": batch_np["mel_lengths"],
                 }
                 if self.mesh is not None:
+                    # batch dim must divide the data axis: pad with
+                    # zero-length rows (lens=0 -> empty loss span)
+                    n_data = self.mesh.shape.get("data", 1)
+                    b = batch["mel"].shape[0]
+                    pad = (-b) % n_data
+                    if pad:
+                        batch = {
+                            "mel": np.concatenate(
+                                [batch["mel"],
+                                 np.zeros((pad, *batch["mel"].shape[1:]),
+                                          batch["mel"].dtype)]),
+                            "text": np.concatenate(
+                                [batch["text"],
+                                 np.full((pad, batch["text"].shape[1]), -1,
+                                         batch["text"].dtype)]),
+                            "lens": np.concatenate(
+                                [batch["lens"], np.zeros(pad, batch["lens"].dtype)]),
+                        }
                     batch = shard_batch(batch, self.mesh)
                 step_key = jax.random.fold_in(key, update)
                 self.state, loss = train_step(
