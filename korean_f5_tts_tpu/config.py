@@ -30,6 +30,7 @@ class DiTConfig:
     conv_layers: int = 4
     conv_mult: int = 2
     pe_attn_head: int | None = None
+    attn_mask_enabled: bool = False
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
 
@@ -54,6 +55,7 @@ class UNetTConfig:
     conv_layers: int = 0
     conv_mult: int = 2
     pe_attn_head: int | None = None
+    attn_mask_enabled: bool = False
     skip_connect_type: str = "concat"  # "none" | "add" | "concat"
     checkpoint_activations: bool = False
 

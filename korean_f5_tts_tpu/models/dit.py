@@ -206,7 +206,8 @@ def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
 
     block_fn = functools.partial(
         dit_block, heads=cfg.heads, mask=mask, rope=rope,
-        pe_attn_head=cfg.pe_attn_head, attn_mask_enabled=False,
+        pe_attn_head=cfg.pe_attn_head,
+        attn_mask_enabled=cfg.attn_mask_enabled,
         dropout_rate=cfg.dropout if dropout_key is not None else 0.0,
     )
     for i, blk in enumerate(p["blocks"]):
@@ -282,7 +283,8 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
         )
         norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
         attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,
-                           pe_attn_head=cfg.pe_attn_head, attn_mask_enabled=False)
+                           pe_attn_head=cfg.pe_attn_head,
+                           attn_mask_enabled=cfg.attn_mask_enabled)
         h = h + gate_msa[:, None] * attn_out
         norm = layernorm({}, h, eps=1e-6) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         h = h + gate_mlp[:, None] * feedforward(blk["ff"], norm)

@@ -108,7 +108,7 @@ def unett_backbone(p: dict, cfg: UNetTConfig, h: jax.Array, t_emb: jax.Array,
         h = attention(
             layer["attn"], rmsnorm(layer["attn_norm"], h), cfg.heads,
             mask=mask, rope=rope, pe_attn_head=cfg.pe_attn_head,
-            attn_mask_enabled=False,
+            attn_mask_enabled=getattr(cfg, 'attn_mask_enabled', False),
         ) + h
         h = feedforward(
             layer["ff"], rmsnorm(layer["ff_norm"], h),
