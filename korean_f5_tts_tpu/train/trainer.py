@@ -63,8 +63,10 @@ class Trainer:
         log_samples: bool = False,
         sample_fn=None,
         compute_dtype=None,
+        ckpt_format: str = "npz",  # "npz" | "orbax" (sharded/multi-host)
     ):
         self.compute_dtype = compute_dtype
+        self.ckpt_format = ckpt_format
         self.arch = arch
         self.epochs = epochs
         self.save_per_updates = save_per_updates
@@ -111,6 +113,15 @@ class Trainer:
 
     def save_checkpoint(self, update: int, last: bool = False) -> str:
         os.makedirs(self.checkpoint_path, exist_ok=True)
+        if self.ckpt_format == "orbax":
+            # sharded params stay distributed — no host gather
+            name = "model_last_orbax" if last else f"model_{update}_orbax"
+            path = os.path.join(self.checkpoint_path, name)
+            ckpt_lib.save_checkpoint_orbax(
+                path, self.state.params, opt_state=self.state.opt_state,
+                ema_params=self.state.ema_params, update=update,
+            )
+            return path
         name = "model_last.npz" if last else f"model_{update}.npz"
         path = os.path.join(self.checkpoint_path, name)
         ckpt_lib.save_checkpoint(
