@@ -25,6 +25,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from korean_f5_tts_tpu.config import DiTConfig
     from korean_f5_tts_tpu.models.cfm import _sample_core
     from korean_f5_tts_tpu.models.dit import init_dit

@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--no-ema", dest="ema", action="store_false", default=True)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 
     import jax
     import jax.numpy as jnp

@@ -155,6 +155,10 @@ def main(argv=None):  # pragma: no cover - thin CLI
     p.add_argument("--nfe_step", type=int, default=16)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.device:
         import jax
 

@@ -312,6 +312,10 @@ def main(argv=None):
     parser.add_argument("--warm_buckets", type=int, nargs="*", default=[1024],
                         help="precompile these duration buckets before serving")
     args = parser.parse_args(argv)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 
     if args.device:
         import jax

@@ -130,6 +130,10 @@ def main(argv=None):
     p.add_argument("--nfe_step", type=int, default=16)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.device:
         import jax
 

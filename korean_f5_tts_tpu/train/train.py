@@ -45,6 +45,10 @@ def main(argv=None):
                         help="tensor-parallel degree over the device mesh")
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
 
     with open(args.config, "r", encoding="utf-8") as f:
         cfg = yaml.safe_load(f)

@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=5000)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
