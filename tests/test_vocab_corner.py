@@ -56,3 +56,16 @@ class TestMMDiTPosOverflow:
         emb = mmdit_text_embedding(p["text_embed"], cfg, text)
         assert emb.shape == (1, nt, 16)
         assert np.isfinite(np.asarray(emb)).all()
+
+
+class TestJaxCacheHelper:
+    def test_enable_is_idempotent_and_safe(self, tmp_path, monkeypatch):
+        from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+        monkeypatch.setenv("F5_TTS_COMPILE_CACHE_DIR", str(tmp_path / "cc"))
+        enable_compilation_cache()
+        enable_compilation_cache()  # idempotent
+        import os
+        assert os.path.isdir(tmp_path / "cc")
+        monkeypatch.setenv("F5_TTS_COMPILE_CACHE", "0")
+        enable_compilation_cache()  # disabled path is a no-op
