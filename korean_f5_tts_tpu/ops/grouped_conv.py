@@ -143,12 +143,15 @@ def _gc(x, w, b, groups, fuse_mish, interpret):
 
 
 def _gc_fwd(x, w, b, groups, fuse_mish, interpret):
-    return _pallas_fwd(x, w, b, groups, fuse_mish, interpret), (x, w, b)
+    # f_fwd only runs when the call is being differentiated (training).
+    # There the pallas forward is a net loss: remat re-runs the forward and
+    # the backward recomputes it again via XLA, so use XLA end-to-end and
+    # keep the pallas kernel for the (grad-free) inference path.
+    return _xla_ref(x, w, b, groups, fuse_mish), (x, w, b)
 
 
 def _gc_bwd(groups, fuse_mish, interpret, res, g):
-    # pallas_call has no autodiff rule; differentiate the XLA reference
-    # instead (recomputes the cheap forward, only runs in training).
+    # pallas_call has no autodiff rule; differentiate the XLA reference.
     x, w, b = res
     if b is None:
         _, vjp = jax.vjp(lambda x_, w_: _xla_ref(x_, w_, None, groups, fuse_mish),
