@@ -153,13 +153,31 @@ class TTSService:
             seed=p0.get("seed"),
         )
         out = np.asarray(out, np.float32)
+        # Batch the vocoder too: pad every item's generated mel to one
+        # 256-frame-bucketed static length and decode in a single call.
+        # Per-item decode at exact lengths would compile a fresh Vocos graph
+        # for every novel length (multi-second stall mid-request) and issue
+        # B dispatches. Zero-padded frames only perturb the ISTFT window
+        # envelope in the last win/2 samples of each item, which we slice
+        # identically to the per-item path's output length.
+        gen_lens = np.array([durations[i] - lens[i] for i in range(len(items))])
+        wavs: list[np.ndarray | None] = [None] * len(items)
+        if self.vocoder is not None and gen_lens.max(initial=0) > 1:
+            d_mel = out.shape[-1]
+            voc_len = max(256, int(-(-int(gen_lens.max()) // 256)) * 256)
+            genb = np.zeros((len(items), d_mel, voc_len), np.float32)
+            for i in range(len(items)):
+                if gen_lens[i] > 0:
+                    genb[i, :, : gen_lens[i]] = out[i, lens[i]: durations[i], :].T
+            wavb = np.asarray(self.vocoder(jnp.asarray(genb)))
+            wavb = wavb.reshape(len(items), -1)
+            for i in range(len(items)):
+                n_samp = max(int(gen_lens[i]) - 1, 0) * hop_length
+                wavs[i] = wavb[i, :n_samp]
         for i, it in enumerate(items):
-            gen = out[i: i + 1, lens[i]: durations[i], :]
-            mel_out = np.swapaxes(gen, 1, 2)
-            if self.vocoder is not None:
-                wav = np.asarray(self.vocoder(jnp.asarray(mel_out))).reshape(-1)
-            else:
-                wav = np.zeros(mel_out.shape[-1] * hop_length, np.float32)
+            wav = wavs[i]
+            if wav is None or wav.size == 0:
+                wav = np.zeros(max(int(gen_lens[i]), 1) * hop_length, np.float32)
             if 0 < rms_vals[i] < target_rms:
                 wav = wav * (rms_vals[i] / target_rms)
             it.result = (wav, target_sample_rate)
