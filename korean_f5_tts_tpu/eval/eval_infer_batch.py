@@ -61,7 +61,9 @@ def synthesize_bucket(bucket: list[dict], model_obj, vocoder, out_dir: str,
             gen = out[j: j + 1, lens[j]: durations[j], :]
             mel_out = np.swapaxes(gen, 1, 2)
             if vocoder is not None:
-                wav = np.asarray(vocoder(jnp.asarray(mel_out))).reshape(-1)
+                from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+                wav = _vocode_bucketed(vocoder, mel_out).reshape(-1)
             else:
                 wav = np.zeros(mel_out.shape[-1] * hop_length, np.float32)
             save_wav(os.path.join(out_dir, it["utt"] + ".wav"), wav,

@@ -89,7 +89,9 @@ def edit_speech(
     )
     out = np.asarray(out[:, :n_out, :], np.float32)
     if vocoder is not None:
-        return np.asarray(vocoder(jnp.asarray(np.swapaxes(out, 1, 2)))).reshape(-1)
+        from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+        return _vocode_bucketed(vocoder, np.swapaxes(out, 1, 2)).reshape(-1)
     return out[0]
 
 

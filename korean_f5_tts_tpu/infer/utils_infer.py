@@ -73,6 +73,40 @@ def transcribe(ref_audio: str, language: str | None = None) -> str:
     return _asr_backend(ref_audio, language)
 
 
+def _vocode_bucketed(vocoder, mel_out: np.ndarray) -> np.ndarray:
+    """Decode [b, d, n] mel with the frame count padded to a 256-frame bucket.
+
+    Exact-length decodes compile a fresh vocoder graph per novel length
+    (multi-second stall per new chunk length); bucketing caps the set of
+    compiled shapes. The wav is sliced back to the exact-length output size.
+    The pad frames still sit inside the vocoder's receptive field, so the
+    last ~50 frames' samples deviate slightly from an exact-length decode;
+    with trained models the tail is trailing silence and the replicate pad
+    is inaudible. Set F5_TTS_VOCODER_BUCKET=0 to decode at exact lengths
+    (bit-parity with the reference per-chunk decode, at the cost of one
+    compile per novel length).
+    """
+    import os
+
+    bucket = int(os.environ.get("F5_TTS_VOCODER_BUCKET", "256"))
+    b, d, n = mel_out.shape
+    nb = max(bucket, -(-n // bucket) * bucket) if bucket > 0 else n
+    if nb != n:
+        # replicate the last frame: zeros are LOUD in log-mel space
+        # (exp(0)=1) and their conv bleed would contaminate the real tail
+        mel_in = np.concatenate(
+            [mel_out, np.repeat(mel_out[:, :, -1:], nb - n, axis=2)], axis=2)
+    else:
+        mel_in = mel_out
+    wav = np.asarray(vocoder(jnp.asarray(mel_in))).reshape(b, -1)
+    if nb == n:
+        return wav
+    # both vocoder families upsample by exactly hop_length samples/frame
+    # (ISTFT: (n-1)*hop, BigVGAN: n*hop), so trimming the pad frames'
+    # samples recovers the exact-length output size either way
+    return wav[:, : wav.shape[-1] - (nb - n) * hop_length]
+
+
 def chunk_text(text: str, max_chars: int = 135) -> list[str]:
     """Sentence-aware splitting with a utf-8 byte budget (utils_infer.py:83-110)."""
     chunks = []
@@ -278,7 +312,7 @@ def infer_batch_process(
         generated = np.asarray(generated[:, ref_audio_len:duration, :], dtype=np.float32)
         mel_out = np.swapaxes(generated, 1, 2)  # [1, d, n]
         if vocoder is not None:
-            generated_wave = np.asarray(vocoder(jnp.asarray(mel_out))).reshape(-1)
+            generated_wave = _vocode_bucketed(vocoder, mel_out).reshape(-1)
         else:
             generated_wave = np.zeros(mel_out.shape[-1] * hop_length, np.float32)
         if rms_val < target_rms and rms_val > 0:

@@ -168,7 +168,11 @@ class TTSService:
             genb = np.zeros((len(items), d_mel, voc_len), np.float32)
             for i in range(len(items)):
                 if gen_lens[i] > 0:
-                    genb[i, :, : gen_lens[i]] = out[i, lens[i]: durations[i], :].T
+                    g = out[i, lens[i]: durations[i], :].T
+                    genb[i, :, : gen_lens[i]] = g
+                    # replicate the final frame into the pad: zeros are loud
+                    # in log-mel space and would bleed into the sliced tail
+                    genb[i, :, gen_lens[i]:] = g[:, -1:]
             wavb = np.asarray(self.vocoder(jnp.asarray(genb)))
             wavb = wavb.reshape(len(items), -1)
             for i in range(len(items)):

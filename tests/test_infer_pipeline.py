@@ -147,3 +147,77 @@ class TestFixDuration:
         ref_frames = int(len(wav_ref) / 256)
         expected_gen_frames = int(4.0 * 24000 / 256) - ref_frames
         assert abs(spec.shape[1] - expected_gen_frames) <= 2
+
+
+class TestVocodeBucketed:
+    """_vocode_bucketed: shape-stable vocoder batching (utils_infer.py)."""
+
+    def _mel(self, n, b=1, d=10):
+        rng = np.random.default_rng(n)
+        return rng.standard_normal((b, d, n)).astype(np.float32)
+
+    def test_istft_convention_length(self):
+        from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+        hop = 256
+        calls = []
+
+        def voc(mel):  # (n-1)*hop samples, like torch.istft
+            calls.append(mel.shape[-1])
+            n = mel.shape[-1]
+            return np.zeros((mel.shape[0], (n - 1) * hop), np.float32)
+
+        out = _vocode_bucketed(voc, self._mel(100))
+        assert out.shape == (1, 99 * hop)
+        assert calls == [256]  # padded to the bucket
+
+    def test_upsample_convention_length(self):
+        from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+        def voc(mel):  # n*256 samples, like bigvgan
+            n = mel.shape[-1]
+            return np.zeros((mel.shape[0], n * 256), np.float32)
+
+        out = _vocode_bucketed(voc, self._mel(300))
+        assert out.shape == (1, 300 * 256)
+
+    def test_exact_multiple_passthrough(self):
+        from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+        calls = []
+
+        def voc(mel):
+            calls.append(mel.shape[-1])
+            return np.zeros((mel.shape[0], mel.shape[-1] * 4), np.float32)
+
+        _vocode_bucketed(voc, self._mel(512))
+        assert calls == [512]  # no padding when already on a bucket boundary
+
+    def test_disable_env(self, monkeypatch):
+        from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+        monkeypatch.setenv("F5_TTS_VOCODER_BUCKET", "0")
+        calls = []
+
+        def voc(mel):
+            calls.append(mel.shape[-1])
+            return np.zeros((mel.shape[0], mel.shape[-1] * 4), np.float32)
+
+        _vocode_bucketed(voc, self._mel(100))
+        assert calls == [100]  # exact length when disabled
+
+    def test_linear_vocoder_prefix_exact(self):
+        """For a zero-pad-linear vocoder, bucketing must not change values."""
+        from korean_f5_tts_tpu.infer.utils_infer import _vocode_bucketed
+
+        k = np.linspace(-1, 1, 10).astype(np.float32)
+
+        def voc(mel):  # per-frame linear map, n*hop samples
+            m = np.asarray(mel)
+            y = np.einsum("bdn,d->bn", m, k)
+            return np.repeat(y, 256, axis=-1)
+
+        mel = self._mel(100)
+        exact = voc(mel)
+        bucketed = _vocode_bucketed(voc, mel)
+        np.testing.assert_allclose(bucketed, exact, rtol=1e-6)
