@@ -308,6 +308,12 @@ def warm_start(model_obj, vocoder, buckets: list[int] = (512, 1024, 1536),
         if vocoder is not None:
             float(jnp.abs(vocoder(jnp.swapaxes(out, 1, 2))).sum())
         print(f"warmed bucket {n}")
+    if vocoder is not None:
+        # the batch path decodes generated mels at 256-frame-bucketed
+        # lengths; warm every multiple the largest sampler bucket can hit
+        for vn in range(256, max(buckets) + 1, 256):
+            float(jnp.abs(vocoder(jnp.zeros((1, d, vn), np.float32))).sum())
+        print(f"warmed vocoder lengths 256..{max(buckets)}")
 
 
 def serve(model_obj, vocoder, host: str = "0.0.0.0", port: int = 8000,
