@@ -57,14 +57,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
-    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     if args.device:
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from korean_f5_tts_tpu.api import load_vocoder
     from korean_f5_tts_tpu.config import preset_model_config

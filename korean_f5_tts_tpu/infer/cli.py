@@ -81,16 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
     if args.device:
         # must happen before any jax computation; overrides the env default
         # (the TPU relay pins JAX_PLATFORMS at interpreter startup)
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = _load_toml(args.config) if args.config else {}
 
     def pick(name, default):

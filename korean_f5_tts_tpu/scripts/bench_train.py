@@ -29,16 +29,15 @@ def main(argv=None):
     p.add_argument("--no-ema", dest="ema", action="store_false", default=True)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
-    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-
     import jax
     import jax.numpy as jnp
 
     if args.device:
         jax.config.update("jax_platforms", args.device)
+
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from korean_f5_tts_tpu.config import CFMConfig, DiTConfig
     from korean_f5_tts_tpu.models.dit import init_dit

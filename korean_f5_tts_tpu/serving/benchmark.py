@@ -88,12 +88,11 @@ def main(argv=None):
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
 
     from korean_f5_tts_tpu.api import load_vocoder
     from korean_f5_tts_tpu.config import preset_model_config

@@ -157,9 +157,9 @@ class TTSService:
         # 256-frame-bucketed static length and decode in a single call.
         # Per-item decode at exact lengths would compile a fresh Vocos graph
         # for every novel length (multi-second stall mid-request) and issue
-        # B dispatches. Zero-padded frames only perturb the ISTFT window
-        # envelope in the last win/2 samples of each item, which we slice
-        # identically to the per-item path's output length.
+        # B dispatches. Pad frames replicate the final frame (see below) and
+        # only perturb samples inside the vocoder's receptive field of the
+        # item's tail; each wav is sliced to the per-item output length.
         gen_lens = np.array([durations[i] - lens[i] for i in range(len(items))])
         wavs: list[np.ndarray | None] = [None] * len(items)
         if self.vocoder is not None and gen_lens.max(initial=0) > 1:
@@ -340,15 +340,13 @@ def main(argv=None):
     parser.add_argument("--warm_buckets", type=int, nargs="*", default=[1024],
                         help="precompile these duration buckets before serving")
     args = parser.parse_args(argv)
-    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
-
-    enable_compilation_cache()
-
-
     if args.device:
         import jax
 
         jax.config.update("jax_platforms", args.device)
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from korean_f5_tts_tpu.api import load_vocoder
     from korean_f5_tts_tpu.config import load_model_config, preset_model_config

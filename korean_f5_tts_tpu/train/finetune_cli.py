@@ -48,12 +48,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
 
     model_cfg = preset_model_config(args.exp_name)
     if args.tokenizer == "custom":

@@ -76,12 +76,11 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=5000)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
     from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
 
     model_cfg = preset_model_config(args.exp_name)
     if args.tokenizer == "custom":

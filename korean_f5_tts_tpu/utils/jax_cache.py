@@ -18,6 +18,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
 
     cache_dir = cache_dir or os.environ.get("F5_TTS_COMPILE_CACHE_DIR", _DEFAULT_DIR)
+    # scope per platform: CPU AOT entries loaded by a different-featured
+    # host (e.g. relay compile helper vs local core) spam SIGILL warnings.
+    # Read the configured platform string — default_backend() would
+    # initialize the backend and lock the platform prematurely.
+    platform = getattr(jax.config, "jax_platforms", None) or os.environ.get(
+        "JAX_PLATFORMS") or "default"
+    cache_dir = os.path.join(cache_dir, platform.split(",")[0])
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
