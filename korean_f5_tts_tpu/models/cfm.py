@@ -264,6 +264,22 @@ def cfm_sample(
     # mask is required whenever padding exists
     mask = jnp.asarray(dur_mask) if (b > 1 or N > max_dur) else None
 
+    # Bucket the text axis too: every novel token count would otherwise be a
+    # fresh jit shape (a full sampler recompile, minutes on TPU). Padding with
+    # -1 is exact for DiT/UNetT: text_embedding shifts ids +1 and pads with 0
+    # internally, so -1 -> 0 = the same filler token (dit.py:142-147). MMDiT
+    # embeds text at its own length (its attention sees the text stream), so
+    # it keeps exact shapes. F5_TTS_TEXT_BUCKET=0 disables.
+    if not isinstance(arch, MMDiTConfig):
+        import os as _os
+
+        tb = int(_os.environ.get("F5_TTS_TEXT_BUCKET", "64"))
+        if tb > 0:
+            nt = text.shape[1]
+            ntb = max(tb, int(np.ceil(nt / tb)) * tb)
+            if ntb != nt:
+                text = jnp.pad(text, ((0, 0), (0, ntb - nt)), constant_values=-1)
+
     if y0 is None:
         key = jax.random.PRNGKey(0 if seed is None else seed)
         # shared noise across items (reference reseeds per item: cfm.py:196-201)

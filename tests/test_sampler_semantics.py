@@ -74,3 +74,48 @@ class TestScanEqualsLoop:
             pred = dit_forward(params, TINY, jnp.asarray(x), step_cond, text, time)
             x = x + float(ts[i + 1] - ts[i]) * np.asarray(pred)
         np.testing.assert_allclose(got, x, atol=2e-4, rtol=1e-4)
+
+
+class TestTextBucketing:
+    """Text-axis padding with -1 must be output-exact (cfm.py host wrapper)."""
+
+    def test_padded_text_exact_in_core(self):
+        params = init_dit(jax.random.PRNGKey(4), TINY)
+        params["proj_out"]["w"] = jax.random.normal(
+            jax.random.PRNGKey(5), params["proj_out"]["w"].shape) * 0.05
+        rng = np.random.default_rng(2)
+        step_cond = jnp.asarray(rng.standard_normal((1, 24, 10)).astype(np.float32))
+        y0 = jnp.asarray(rng.standard_normal((1, 24, 10)).astype(np.float32))
+        text = jnp.asarray(np.array([[3, 1, 4, 1, 5]], dtype=np.int32))
+        text_padded = jnp.pad(text, ((0, 0), (0, 11)), constant_values=-1)
+        a = np.asarray(_sample_core(
+            params, TINY, step_cond, text, None, y0,
+            cfg_strength=2.0, steps=4, use_sway=True, sway_coef=-1.0, use_epss=True))
+        b = np.asarray(_sample_core(
+            params, TINY, step_cond, text_padded, None, y0,
+            cfg_strength=2.0, steps=4, use_sway=True, sway_coef=-1.0, use_epss=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_cfm_sample_buckets_text(self, monkeypatch):
+        from korean_f5_tts_tpu.models.cfm import cfm_sample
+
+        params = init_dit(jax.random.PRNGKey(4), TINY)
+        rng = np.random.default_rng(3)
+        cond = rng.standard_normal((1, 16, 10)).astype(np.float32)
+        text = np.array([[1, 2, 3]], dtype=np.int32)
+        monkeypatch.setenv("F5_TTS_TEXT_BUCKET", "64")
+        out_b, _ = cfm_sample(params, TINY, cond, text, duration=24, seed=0)
+        monkeypatch.setenv("F5_TTS_TEXT_BUCKET", "0")
+        out_e, _ = cfm_sample(params, TINY, cond, text, duration=24, seed=0)
+        np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_e))
+
+    def test_text_longer_than_bucket_multiple(self, monkeypatch):
+        from korean_f5_tts_tpu.models.cfm import cfm_sample
+
+        params = init_dit(jax.random.PRNGKey(4), TINY)
+        rng = np.random.default_rng(4)
+        cond = rng.standard_normal((1, 16, 10)).astype(np.float32)
+        text = np.asarray(rng.integers(1, 20, (1, 70)), dtype=np.int32)  # > 64
+        monkeypatch.setenv("F5_TTS_TEXT_BUCKET", "64")
+        out, _ = cfm_sample(params, TINY, cond, text, duration=128, seed=0)
+        assert np.isfinite(np.asarray(out)).all()
