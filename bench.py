@@ -63,13 +63,16 @@ def main():
     text = jnp.asarray(rng.integers(1, 2545, (1, 160)).astype(np.int32))
     y0 = jax.random.normal(jax.random.PRNGKey(42), (1, n_bucket, 100), compute_dtype)
 
-    # bucket padding past the requested duration must be masked in attention
-    dur_mask = jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
+    # bucket padding past the requested duration: [1, n] pad_mask — always
+    # masked in attention (shared-segment splash fast path), b==1 so no
+    # reference-semantics duration mask
+    pad_mask = jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
 
     def synthesize(params, voc_params, step_cond, text, y0):
         mel = _sample_core.__wrapped__(
-            params, arch, step_cond, text, dur_mask, y0,
-            cfg_strength=2.0, steps=16, use_sway=True, sway_coef=-1.0, use_epss=True,
+            params, arch, step_cond, text, None, pad_mask, y0,
+            jnp.asarray(2.0, compute_dtype), jnp.asarray(-1.0, compute_dtype),
+            steps=16, use_cfg=True, use_sway=True, use_epss=True,
         )
         out = jnp.where(jnp.asarray(cond_mask), step_cond, mel)
         wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2).astype(compute_dtype), vcfg)

@@ -49,7 +49,7 @@ def _backbone_fns(arch):
     if isinstance(arch, MMDiTConfig):
         from korean_f5_tts_tpu.models import mmdit as mmdit_mod
 
-        def mmdit_text(p, a, text, seq_len, drop_text=False):
+        def mmdit_text(p, a, text, seq_len, drop_text=False, pad_mask=None):
             # MMDiT embeds text at its own length, not the mel length
             return mmdit_mod.mmdit_text_embedding(p, a, text, drop_text=drop_text)
 
@@ -131,7 +131,7 @@ class SampleConfig:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "arch", "cfg_strength", "steps", "use_sway", "sway_coef", "use_epss", "t_start",
+        "arch", "steps", "use_cfg", "use_sway", "use_epss", "t_start",
     ),
 )
 def _sample_core(
@@ -140,42 +140,48 @@ def _sample_core(
     step_cond: jax.Array,    # [b, N, d] cond already masked to cond region
     text: jax.Array,         # [b, nt]
     mask: jax.Array | None,  # [b, N] duration mask (None for b==1)
+    pad_mask: jax.Array | None,  # [1, N] bucket-tail mask (None if no padding)
     y0: jax.Array,           # [b, N, d] initial noise (zeroed past duration)
-    cfg_strength: float,
+    cfg_strength: jax.Array,  # traced scalar: no recompile per guidance value
+    sway_coef: jax.Array,     # traced scalar: no recompile per sway value
     steps: int,
+    use_cfg: bool,
     use_sway: bool,
-    sway_coef: float,
     use_epss: bool,
     t_start: float = 0.0,
 ) -> jax.Array:
-    """jit core: text embed (once) + lax.scan Euler over the NFE schedule."""
+    """jit core: text embed (once) + lax.scan Euler over the NFE schedule.
+
+    cfg_strength and sway_coef are traced operands — only the branch structure
+    (use_cfg/use_sway) is static, so changing guidance or sway values reuses
+    the same compiled program (the scalars enter fused multiplies).
+    """
     N = step_cond.shape[1]
-    ts = make_schedule(
-        steps,
-        use_epss=use_epss,
-        sway_sampling_coef=sway_coef if use_sway else None,
-        t_start=t_start,
-    )
-    ts = jnp.asarray(ts, dtype=step_cond.dtype)
+    base = make_schedule(steps, use_epss=use_epss, sway_sampling_coef=None,
+                         t_start=t_start)
+    ts = jnp.asarray(base, dtype=step_cond.dtype)
+    if use_sway:
+        c = sway_coef.astype(ts.dtype)
+        ts = ts + c * (jnp.cos(jnp.pi / 2.0 * ts) - 1.0 + ts)
 
     forward, forward_cfg, text_embedding = _backbone_fns(arch)
-    use_cfg = cfg_strength > 1e-5
-    text_emb_cond = text_embedding(params["text_embed"], arch, text, N, drop_text=False)
+    text_emb_cond = text_embedding(params["text_embed"], arch, text, N,
+                                   drop_text=False, pad_mask=pad_mask)
     if use_cfg:
         text_emb_uncond = text_embedding(params["text_embed"], arch, text, N,
-                                         drop_text=True)
+                                         drop_text=True, pad_mask=pad_mask)
     dts = ts[1:] - ts[:-1]
 
     if use_cfg and isinstance(arch, DiTConfig):
         # hoist ALL time-dependent modulations out of the scan: they are
-        # batch-independent functions of the static schedule
+        # batch-independent functions of the schedule
         mods, mod_final, _ = dit_mod.precompute_step_modulations(params, arch, ts[:-1])
 
         def step_premod(x, xs):
             dt, mods_s, mod_final_s = xs
             pred = dit_mod.dit_forward_cfg_premod(
                 params, arch, x, step_cond, text_emb_cond, text_emb_uncond,
-                mods_s, mod_final_s, cfg_strength, mask=mask,
+                mods_s, mod_final_s, cfg_strength, mask=mask, pad_mask=pad_mask,
             )
             return (x + dt * pred).astype(y0.dtype), None
 
@@ -188,11 +194,12 @@ def _sample_core(
         if use_cfg:
             pred = forward_cfg(
                 params, arch, x, step_cond, text_emb_cond, text_emb_uncond,
-                time, cfg_strength, mask=mask,
+                time, cfg_strength, mask=mask, pad_mask=pad_mask,
             )
         else:
             pred = forward(params, arch, x, step_cond, text, time, mask=mask,
-                           drop_audio_cond=False, drop_text=False)
+                           drop_audio_cond=False, drop_text=False,
+                           pad_mask=pad_mask)
         return (x + dt * pred).astype(y0.dtype), None
 
     x_final, _ = jax.lax.scan(step, y0, (ts[:-1], dts))
@@ -259,10 +266,20 @@ def cfm_sample(
     step_cond = jnp.where(jnp.asarray(cond_mask)[..., None], cond_p, 0.0)
 
     dur_mask = np.arange(N)[None, :] < duration[:, None]
-    # the reference skips the mask for b==1 (cfm.py:156-158) because it never
-    # pads a single item; shape bucketing here pads past the duration, so the
-    # mask is required whenever padding exists
-    mask = jnp.asarray(dur_mask) if (b > 1 or N > max_dur) else None
+    # two distinct masks (reference cfm.py:156-158 + bucketing):
+    #   mask      — the reference-semantics duration mask: present only for
+    #               b > 1 (the reference never masks single-item inference);
+    #               gated by attn_mask_enabled inside attention, applied to
+    #               attention outputs / conv-pos always, like the reference.
+    #   pad_mask  — [1, N] bucket-tail mask covering rows >= max_dur that this
+    #               framework's shape bucketing adds but the reference run
+    #               never has. ALWAYS masked at every sequence-mixing op
+    #               (attention logits, conv boundaries, GRN stats) so bucketed
+    #               output == exact-length output on the valid region.
+    mask = jnp.asarray(dur_mask) if b > 1 else None
+    pad_mask = (
+        jnp.asarray(np.arange(N)[None, :] < max_dur) if N > max_dur else None
+    )
 
     # Bucket the text axis too: every novel token count would otherwise be a
     # fresh jit shape (a full sampler recompile, minutes on TPU). Padding with
@@ -281,10 +298,26 @@ def cfm_sample(
                 text = jnp.pad(text, ((0, 0), (0, ntb - nt)), constant_values=-1)
 
     if y0 is None:
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        # shared noise across items (reference reseeds per item: cfm.py:196-201)
-        noise = jax.random.normal(key, (N, d), dtype=step_cond.dtype)
-        y0 = jnp.broadcast_to(noise[None], (b, N, d))
+        # Noise parity with cfm.py:194-201: with a seed, the reference reseeds
+        # EVERY item with the same seed, so all items share one noise tensor
+        # and batched output == the same request run alone; with seed=None it
+        # draws fresh noise per item from the global RNG. Draw at a canonical
+        # length (>= max_duration) and slice so the noise for frame k does not
+        # depend on the bucket size N (JAX keys are not prefix-stable across
+        # shapes).
+        canon = max(int(max_duration), N)
+        if seed is None:
+            import secrets
+
+            base = jax.random.PRNGKey(secrets.randbits(63))
+            keys = jax.random.split(base, b)
+            y0 = jax.vmap(
+                lambda k: jax.random.normal(k, (canon, d), dtype=step_cond.dtype)
+            )(keys)[:, :N]
+        else:
+            key = jax.random.PRNGKey(seed)
+            noise = jax.random.normal(key, (canon, d), dtype=step_cond.dtype)[:N]
+            y0 = jnp.broadcast_to(noise[None], (b, N, d))
     y0 = jnp.where(jnp.asarray(dur_mask)[..., None], y0, 0.0)
 
     t_start = 0.0
@@ -299,11 +332,13 @@ def cfm_sample(
         steps = int(steps * (1.0 - t_start))
 
     sampled = _sample_core(
-        params, arch, step_cond, text, mask, y0,
-        float(cfg_strength), int(steps),
-        sway_sampling_coef is not None,
-        float(sway_sampling_coef or 0.0),
-        bool(use_epss),
+        params, arch, step_cond, text, mask, pad_mask, y0,
+        jnp.asarray(float(cfg_strength), dtype=step_cond.dtype),
+        jnp.asarray(float(sway_sampling_coef or 0.0), dtype=step_cond.dtype),
+        steps=int(steps),
+        use_cfg=float(cfg_strength) > 1e-5,
+        use_sway=sway_sampling_coef is not None,
+        use_epss=bool(use_epss),
         t_start=float(t_start),
     )
 

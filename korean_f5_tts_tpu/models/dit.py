@@ -130,7 +130,7 @@ def _average_upsample(text: jax.Array, text_mask: jax.Array) -> jax.Array:
 
 
 def text_embedding(p: dict, cfg: DiTConfig, text: jax.Array, seq_len: int,
-                   drop_text=False) -> jax.Array:
+                   drop_text=False, pad_mask: jax.Array | None = None) -> jax.Array:
     """[b, nt] token ids (pad=-1) -> [b, seq_len, text_dim].
 
     Parity with reference TextEmbedding.forward (dit.py:86-115): ids shifted
@@ -138,6 +138,9 @@ def text_embedding(p: dict, cfg: DiTConfig, text: jax.Array, seq_len: int,
     stack with padding re-masking, absolute sinusoidal position.
     drop_text may be a Python bool or traced 0/1 scalar (training CFG drop);
     the padding mask is derived from the pre-drop ids, as in the reference.
+    pad_mask ([1, seq_len]): bucket-tail rows (absent in the reference run)
+    that must be invisible to the ConvNeXt dwconv/GRN sequence stats; the
+    within-seq filler rows keep reference semantics (text_mask_padding flag).
     """
     text = text + 1
     if text.shape[1] >= seq_len:
@@ -153,16 +156,17 @@ def text_embedding(p: dict, cfg: DiTConfig, text: jax.Array, seq_len: int,
     h = embedding(p["embed"], text)
 
     if cfg.conv_layers > 0:
+        valid = pad_mask[..., None] if pad_mask is not None else None
         table = jnp.asarray(_freqs_cis_table(cfg.text_dim_)[:seq_len])
         h = h + table[None, :, :].astype(h.dtype)
         if cfg.text_mask_padding:
             h = jnp.where(text_mask[..., None], h, 0.0)
             for blk in p["blocks"]:
-                h = convnext_v2_block(blk, h)
+                h = convnext_v2_block(blk, h, valid_mask=valid)
                 h = jnp.where(text_mask[..., None], h, 0.0)
         else:
             for blk in p["blocks"]:
-                h = convnext_v2_block(blk, h)
+                h = convnext_v2_block(blk, h, valid_mask=valid)
 
     if getattr(cfg, "text_embedding_average_upsampling", False):
         h = _average_upsample(h, text_mask)
@@ -196,7 +200,8 @@ def _rope_table(seq_len: int, dim_head: int) -> tuple[np.ndarray, np.ndarray]:
 
 def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
                  mask: jax.Array | None = None,
-                 dropout_key: jax.Array | None = None) -> jax.Array:
+                 dropout_key: jax.Array | None = None,
+                 pad_mask: jax.Array | None = None) -> jax.Array:
     """Embedded input [b, n, dim] + time emb [b, dim] -> flow pred [b, n, mel]."""
     seq_len = h.shape[1]
     cos, sin = _rope_table(seq_len, cfg.dim_head)
@@ -208,6 +213,7 @@ def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
         dit_block, heads=cfg.heads, mask=mask, rope=rope,
         pe_attn_head=cfg.pe_attn_head,
         attn_mask_enabled=cfg.attn_mask_enabled,
+        pad_mask=pad_mask,
         dropout_rate=cfg.dropout if dropout_key is not None else 0.0,
     )
     for i, blk in enumerate(p["blocks"]):
@@ -228,15 +234,18 @@ def dit_forward(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
                 text: jax.Array, time: jax.Array,
                 mask: jax.Array | None = None,
                 drop_audio_cond=False, drop_text: bool = False,
-                dropout_key: jax.Array | None = None) -> jax.Array:
+                dropout_key: jax.Array | None = None,
+                pad_mask: jax.Array | None = None) -> jax.Array:
     """Training-path forward (dit.py:278-329, cfg_infer=False)."""
     if time.ndim == 0:
         time = jnp.repeat(time[None], x.shape[0])
     t_emb = timestep_embedding(p["time_embed"], time)
-    text_emb = text_embedding(p["text_embed"], cfg, text, x.shape[1], drop_text=drop_text)
+    text_emb = text_embedding(p["text_embed"], cfg, text, x.shape[1],
+                              drop_text=drop_text, pad_mask=pad_mask)
     h = input_embedding(p, x, cond, text_emb, drop_audio_cond=drop_audio_cond,
-                        audio_mask=mask)
-    return dit_backbone(p, cfg, h, t_emb, mask=mask, dropout_key=dropout_key)
+                        audio_mask=mask if mask is not None else pad_mask)
+    return dit_backbone(p, cfg, h, t_emb, mask=mask, dropout_key=dropout_key,
+                        pad_mask=pad_mask)
 
 
 def precompute_step_modulations(p: dict, cfg: DiTConfig, ts: jax.Array):
@@ -260,7 +269,8 @@ def precompute_step_modulations(p: dict, cfg: DiTConfig, ts: jax.Array):
 
 def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
                         mods: jax.Array, mod_final: jax.Array,
-                        mask: jax.Array | None = None) -> jax.Array:
+                        mask: jax.Array | None = None,
+                        pad_mask: jax.Array | None = None) -> jax.Array:
     """Backbone with precomputed per-block modulations (one sampling step).
 
     mods: [depth, 6*dim] (shared across the batch), mod_final: [2*dim].
@@ -284,7 +294,8 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
         norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
         attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,
                            pe_attn_head=cfg.pe_attn_head,
-                           attn_mask_enabled=cfg.attn_mask_enabled)
+                           attn_mask_enabled=cfg.attn_mask_enabled,
+                           pad_mask=pad_mask)
         h = h + gate_msa[:, None] * attn_out
         norm = layernorm({}, h, eps=1e-6) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
         h = h + gate_mlp[:, None] * feedforward(blk["ff"], norm)
@@ -298,18 +309,29 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
     return linear(p["proj_out"], h)
 
 
+def _double_mask(mask: jax.Array | None) -> jax.Array | None:
+    """Duplicate a [b, n] mask for the CFG-packed 2B batch; [1, n] masks
+    broadcast as-is (keeps the batch-uniform fast attention path)."""
+    if mask is None or mask.shape[0] == 1:
+        return mask
+    return jnp.concatenate([mask, mask], axis=0)
+
+
 def dit_forward_cfg_premod(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
                            text_emb_cond: jax.Array, text_emb_uncond: jax.Array,
                            mods: jax.Array, mod_final: jax.Array,
                            cfg_strength: float,
-                           mask: jax.Array | None = None) -> jax.Array:
+                           mask: jax.Array | None = None,
+                           pad_mask: jax.Array | None = None) -> jax.Array:
     """CFG step with precomputed modulations (sampling-scan body)."""
     x2 = jnp.concatenate([x, x], axis=0)
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
     te2 = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
-    mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
-    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False, audio_mask=mask2)
-    out = dit_backbone_premod(p, cfg, h, mods, mod_final, mask=mask2)
+    mask2 = _double_mask(mask)
+    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False,
+                        audio_mask=mask2 if mask2 is not None else pad_mask)
+    out = dit_backbone_premod(p, cfg, h, mods, mod_final, mask=mask2,
+                              pad_mask=pad_mask)
     pred, null_pred = jnp.split(out, 2, axis=0)
     return pred + (pred - null_pred) * cfg_strength
 
@@ -317,7 +339,8 @@ def dit_forward_cfg_premod(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Arra
 def dit_forward_cfg(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
                     text_emb_cond: jax.Array, text_emb_uncond: jax.Array,
                     time: jax.Array, cfg_strength: float,
-                    mask: jax.Array | None = None) -> jax.Array:
+                    mask: jax.Array | None = None,
+                    pad_mask: jax.Array | None = None) -> jax.Array:
     """Classifier-free-guided sampling step: packed 2B forward + guidance.
 
     Parity with dit.py:296-305 + cfm.py:180-191, with text embeddings hoisted
@@ -332,10 +355,11 @@ def dit_forward_cfg(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Array,
     x2 = jnp.concatenate([x, x], axis=0)
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
     te2 = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
-    mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
-    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False, audio_mask=mask2)
+    mask2 = _double_mask(mask)
+    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False,
+                        audio_mask=mask2 if mask2 is not None else pad_mask)
     t2 = jnp.concatenate([t_emb, t_emb], axis=0)
-    out = dit_backbone(p, cfg, h, t2, mask=mask2)
+    out = dit_backbone(p, cfg, h, t2, mask=mask2, pad_mask=pad_mask)
     pred, null_pred = jnp.split(out, 2, axis=0)
     return pred + (pred - null_pred) * cfg_strength
 

@@ -98,14 +98,17 @@ def mmdit_text_embedding(p: dict, cfg: MMDiTConfig, text: jax.Array,
     return h
 
 
-def _audio_embed(p: dict, x, cond, drop_audio_cond=False):
+def _audio_embed(p: dict, x, cond, drop_audio_cond=False, pad_mask=None):
     if isinstance(drop_audio_cond, bool):
         if drop_audio_cond:
             cond = jnp.zeros_like(cond)
     else:
         cond = cond * (1.0 - drop_audio_cond).astype(cond.dtype)
     h = linear(p["audio_proj"], jnp.concatenate([x, cond], axis=-1))
-    return conv_position_embedding(p["conv_pos_embed"], h) + h
+    # reference AudioEmbedding has no conv mask (mmdit.py:67-79); bucket-tail
+    # rows (absent in the reference run) are zeroed so the conv sees the same
+    # zero boundary an exact-length sequence would
+    return conv_position_embedding(p["conv_pos_embed"], h, mask=pad_mask) + h
 
 
 def mmdit_backbone(p: dict, cfg: MMDiTConfig, h: jax.Array, c: jax.Array,
@@ -122,28 +125,33 @@ def mmdit_backbone(p: dict, cfg: MMDiTConfig, h: jax.Array, c: jax.Array,
 
 def mmdit_forward(p: dict, cfg: MMDiTConfig, x, cond, text, time,
                   mask=None, drop_audio_cond=False, drop_text=False,
-                  dropout_key=None) -> jax.Array:
+                  dropout_key=None, pad_mask=None) -> jax.Array:
     if time.ndim == 0:
         time = jnp.repeat(time[None], x.shape[0])
     t_emb = timestep_embedding(p["time_embed"], time)
     c = mmdit_text_embedding(p["text_embed"], cfg, text, drop_text=drop_text)
-    h = _audio_embed(p, x, cond, drop_audio_cond=drop_audio_cond)
-    return mmdit_backbone(p, cfg, h, c, t_emb, mask=mask)
+    h = _audio_embed(p, x, cond, drop_audio_cond=drop_audio_cond, pad_mask=pad_mask)
+    # joint attention masks whenever a mask is present (modules.py:615-621),
+    # so bucket-tail padding rides the mask argument directly
+    eff_mask = mask if mask is not None else pad_mask
+    return mmdit_backbone(p, cfg, h, c, t_emb, mask=eff_mask)
 
 
 def mmdit_forward_cfg(p: dict, cfg: MMDiTConfig, x, cond,
                       text_emb_cond, text_emb_uncond, time, cfg_strength,
-                      mask=None) -> jax.Array:
+                      mask=None, pad_mask=None) -> jax.Array:
     """CFG-packed 2B step (mmdit.py:190-196). text_embs precomputed outside."""
     if time.ndim == 0:
         time = jnp.repeat(time[None], x.shape[0])
     t_emb = timestep_embedding(p["time_embed"], time)
-    h_cond = _audio_embed(p, x, cond, drop_audio_cond=False)
-    h_uncond = _audio_embed(p, x, cond, drop_audio_cond=True)
+    h_cond = _audio_embed(p, x, cond, drop_audio_cond=False, pad_mask=pad_mask)
+    h_uncond = _audio_embed(p, x, cond, drop_audio_cond=True, pad_mask=pad_mask)
     h = jnp.concatenate([h_cond, h_uncond], axis=0)
     c = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
     t2 = jnp.concatenate([t_emb, t_emb], axis=0)
-    mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
-    out = mmdit_backbone(p, cfg, h, c, t2, mask=mask2)
+    eff_mask = mask if mask is not None else pad_mask
+    if eff_mask is not None and eff_mask.shape[0] > 1:
+        eff_mask = jnp.concatenate([eff_mask, eff_mask], axis=0)
+    out = mmdit_backbone(p, cfg, h, c, t2, mask=eff_mask)
     pred, null_pred = jnp.split(out, 2, axis=0)
     return pred + (pred - null_pred) * cfg_strength

@@ -312,13 +312,26 @@ def convnext_v2_block_init(key, dim: int, intermediate_dim: int, dilation: int =
     }
 
 
-def convnext_v2_block(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
-    """ConvNeXt-V2 block on [b, n, d] (modules.py:247-275)."""
+def convnext_v2_block(p: dict, x: jax.Array, dilation: int = 1,
+                      valid_mask: jax.Array | None = None) -> jax.Array:
+    """ConvNeXt-V2 block on [b, n, d] (modules.py:247-275).
+
+    valid_mask ([1, n, 1] bool): rows past it are shape-bucketing padding that
+    does not exist in the reference run. They are zeroed at the two
+    sequence-mixing ops — the dwconv input (so valid rows see the same
+    zero boundary a shorter unpadded sequence would) and the GRN input (whose
+    global L2 stats would otherwise absorb the padded tail) — which makes the
+    valid region bit-compatible with an exact-length run.
+    """
     residual = x
     pad = (dilation * (7 - 1)) // 2
+    if valid_mask is not None:
+        x = jnp.where(valid_mask, x, 0.0)
     h = conv1d(p["dwconv"], x, groups=x.shape[-1], padding=pad, dilation=dilation)
     h = layernorm(p["norm"], h, eps=1e-6)
     h = gelu_exact(linear(p["pw1"], h))
+    if valid_mask is not None:
+        h = jnp.where(valid_mask, h, 0.0)
     h = grn(p["grn"], h)
     return residual + linear(p["pw2"], h)
 
@@ -418,9 +431,19 @@ def attention(p: dict, x: jax.Array, heads: int,
               mask: jax.Array | None = None,
               rope: tuple[jax.Array, jax.Array] | None = None,
               pe_attn_head: int | None = None,
-              attn_mask_enabled: bool = True) -> jax.Array:
-    """Self-attention used by DiTBlock (modules.py:445-544)."""
-    if "w" in p["to_q"] and "w" in p["to_k"] and "w" in p["to_v"]:
+              attn_mask_enabled: bool = True,
+              pad_mask: jax.Array | None = None) -> jax.Array:
+    """Self-attention used by DiTBlock (modules.py:445-544).
+
+    mask: the reference-semantics duration mask — applied to attention logits
+    only when attn_mask_enabled (modules.py:500-506); always applied to the
+    output rows (modules.py:540-543).
+    pad_mask ([1, n]): bucket-tail padding introduced by this framework's
+    shape bucketing. The reference never pads these rows, so they must be
+    invisible to attention logits REGARDLESS of attn_mask_enabled; being
+    batch-uniform it rides the fast shared-segment splash path on TPU.
+    """
+    if all("w" in p[k] and "b" in p[k] for k in ("to_q", "to_k", "to_v")):
         # fuse qkv into one matmul; the weight concat is loop-invariant and
         # hoisted out of the sampling scan by XLA
         wqkv = jnp.concatenate(
@@ -445,11 +468,16 @@ def attention(p: dict, x: jax.Array, heads: int,
         cos, sin = rope
         q = apply_rope(q, cos, sin, pe_attn_head)
         k = apply_rope(k, cos, sin, pe_attn_head)
-    attn_mask = mask if (attn_mask_enabled and mask is not None) else None
+    if attn_mask_enabled and mask is not None:
+        attn_mask = mask
+    else:
+        attn_mask = pad_mask
     out = _merge_heads(scaled_dot_product_attention(q, k, v, attn_mask))
     out = linear(p["to_out"], out)
     if mask is not None:
         out = jnp.where(mask[..., None], out, 0.0)
+    elif pad_mask is not None:
+        out = jnp.where(pad_mask[..., None], out, 0.0)
     return out
 
 
@@ -516,6 +544,7 @@ def dit_block(p: dict, x: jax.Array, t: jax.Array, heads: int,
               rope: tuple[jax.Array, jax.Array] | None = None,
               pe_attn_head: int | None = None,
               attn_mask_enabled: bool = True,
+              pad_mask: jax.Array | None = None,
               dropout_rate: float = 0.0,
               key: jax.Array | None = None) -> jax.Array:
     """AdaLN-zero DiT block (modules.py:651-697)."""
@@ -523,6 +552,7 @@ def dit_block(p: dict, x: jax.Array, t: jax.Array, heads: int,
     attn_out = attention(
         p["attn"], norm, heads, mask=mask, rope=rope,
         pe_attn_head=pe_attn_head, attn_mask_enabled=attn_mask_enabled,
+        pad_mask=pad_mask,
     )
     x = x + gate_msa[:, None] * attn_out
     norm = layernorm({}, x, eps=1e-6) * (1 + scale_mlp[:, None]) + shift_mlp[:, None]

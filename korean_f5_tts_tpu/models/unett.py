@@ -64,9 +64,10 @@ def init_unett(key, cfg: UNetTConfig) -> dict:
 
 
 def unett_text_embedding(p: dict, cfg: UNetTConfig, text: jax.Array, seq_len: int,
-                         drop_text=False) -> jax.Array:
+                         drop_text=False, pad_mask=None) -> jax.Array:
     # identical text-embedding semantics, pos table capped at 4096 (unett.py:45)
-    return dit_mod.text_embedding(p, cfg, text, seq_len, drop_text=drop_text)
+    return dit_mod.text_embedding(p, cfg, text, seq_len, drop_text=drop_text,
+                                  pad_mask=pad_mask)
 
 
 def _unett_input(p: dict, x, cond, text_emb, drop_audio_cond=False):
@@ -83,12 +84,15 @@ def _unett_input(p: dict, x, cond, text_emb, drop_audio_cond=False):
 
 def unett_backbone(p: dict, cfg: UNetTConfig, h: jax.Array, t_emb: jax.Array,
                    mask: jax.Array | None = None,
-                   dropout_key: jax.Array | None = None) -> jax.Array:
+                   dropout_key: jax.Array | None = None,
+                   pad_mask: jax.Array | None = None) -> jax.Array:
     """Embedded [b, n, dim] + time emb -> flow pred [b, n, mel]."""
     # prepend time token (unett.py:244-247)
     h = jnp.concatenate([t_emb[:, None, :], h], axis=1)
     if mask is not None:
         mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+    if pad_mask is not None:
+        pad_mask = jnp.pad(pad_mask, ((0, 0), (1, 0)), constant_values=True)
 
     seq_len = h.shape[1]
     cos, sin = _rope_table(seq_len, cfg.dim_head)
@@ -109,6 +113,7 @@ def unett_backbone(p: dict, cfg: UNetTConfig, h: jax.Array, t_emb: jax.Array,
             layer["attn"], rmsnorm(layer["attn_norm"], h), cfg.heads,
             mask=mask, rope=rope, pe_attn_head=cfg.pe_attn_head,
             attn_mask_enabled=getattr(cfg, 'attn_mask_enabled', False),
+            pad_mask=pad_mask,
         ) + h
         h = feedforward(
             layer["ff"], rmsnorm(layer["ff_norm"], h),
@@ -122,20 +127,21 @@ def unett_backbone(p: dict, cfg: UNetTConfig, h: jax.Array, t_emb: jax.Array,
 
 def unett_forward(p: dict, cfg: UNetTConfig, x, cond, text, time,
                   mask=None, drop_audio_cond=False, drop_text=False,
-                  dropout_key=None) -> jax.Array:
+                  dropout_key=None, pad_mask=None) -> jax.Array:
     """Training-path forward (unett.py:217-280, cfg_infer=False)."""
     if time.ndim == 0:
         time = jnp.repeat(time[None], x.shape[0])
     t_emb = timestep_embedding(p["time_embed"], time)
     text_emb = unett_text_embedding(p["text_embed"], cfg, text, x.shape[1],
-                                    drop_text=drop_text)
+                                    drop_text=drop_text, pad_mask=pad_mask)
     h = _unett_input(p, x, cond, text_emb, drop_audio_cond=drop_audio_cond)
-    return unett_backbone(p, cfg, h, t_emb, mask=mask, dropout_key=dropout_key)
+    return unett_backbone(p, cfg, h, t_emb, mask=mask, dropout_key=dropout_key,
+                          pad_mask=pad_mask)
 
 
 def unett_forward_cfg(p: dict, cfg: UNetTConfig, x, cond,
                       text_emb_cond, text_emb_uncond, time, cfg_strength,
-                      mask=None) -> jax.Array:
+                      mask=None, pad_mask=None) -> jax.Array:
     """CFG-packed 2B sampling step (unett.py:235-240 + cfm.py:180-191)."""
     if time.ndim == 0:
         time = jnp.repeat(time[None], x.shape[0])
@@ -144,7 +150,7 @@ def unett_forward_cfg(p: dict, cfg: UNetTConfig, x, cond,
     h_uncond = _unett_input(p, x, cond, text_emb_uncond, drop_audio_cond=True)
     h = jnp.concatenate([h_cond, h_uncond], axis=0)
     t2 = jnp.concatenate([t_emb, t_emb], axis=0)
-    mask2 = jnp.concatenate([mask, mask], axis=0) if mask is not None else None
-    out = unett_backbone(p, cfg, h, t2, mask=mask2)
+    mask2 = dit_mod._double_mask(mask)
+    out = unett_backbone(p, cfg, h, t2, mask=mask2, pad_mask=pad_mask)
     pred, null_pred = jnp.split(out, 2, axis=0)
     return pred + (pred - null_pred) * cfg_strength

@@ -123,6 +123,16 @@ def _tpu_splash(q, k, v, mask):
         out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
                      v.reshape(b * h, n, d))
         return out.reshape(b, h, n, d)
+    if mask.ndim == 2 and mask.shape[0] == 1:
+        # batch-uniform key-padding mask (bucket-tail padding): still fold
+        # batch into heads and hand the kernel ONE shared segment-id vector —
+        # masked bucketed sampling runs at the unmasked kernel's speed
+        splash, sk = _splash_fn(n, b * h)
+        seg = mask[0].astype(jnp.int32)
+        out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
+                     v.reshape(b * h, n, d),
+                     segment_ids=sk.SegmentIds(q=seg, kv=seg))
+        return out.reshape(b, h, n, d)
     splash, sk = _splash_fn(n, h)
     seg = mask.astype(jnp.int32)
     return jax.vmap(

@@ -47,8 +47,8 @@ class TestScanEqualsLoop:
         y0 = jnp.asarray(rng.standard_normal((b, N, 10)).astype(np.float32))
 
         got = np.asarray(_sample_core(
-            params, TINY, step_cond, text, None, y0,
-            cfg_strength=2.0, steps=6, use_sway=True, sway_coef=-1.0, use_epss=True,
+            params, TINY, step_cond, text, None, None, y0, 2.0, -1.0,
+            steps=6, use_cfg=True, use_sway=True, use_epss=True,
         ))
         want = reference_euler_loop(params, TINY, step_cond, text, y0, 6, 2.0,
                                     -1.0, True)
@@ -63,8 +63,8 @@ class TestScanEqualsLoop:
         text = jnp.asarray(np.array([[1, 2]], dtype=np.int32))
         y0 = jnp.asarray(rng.standard_normal((1, 16, 10)).astype(np.float32))
         got = np.asarray(_sample_core(
-            params, TINY, step_cond, text, None, y0,
-            cfg_strength=0.0, steps=4, use_sway=False, sway_coef=0.0, use_epss=False,
+            params, TINY, step_cond, text, None, None, y0, 0.0, 0.0,
+            steps=4, use_cfg=False, use_sway=False, use_epss=False,
         ))
         # cfg_strength < 1e-5: single conditional forward per step
         ts = make_schedule(4, use_epss=False, sway_sampling_coef=None)
@@ -89,11 +89,11 @@ class TestTextBucketing:
         text = jnp.asarray(np.array([[3, 1, 4, 1, 5]], dtype=np.int32))
         text_padded = jnp.pad(text, ((0, 0), (0, 11)), constant_values=-1)
         a = np.asarray(_sample_core(
-            params, TINY, step_cond, text, None, y0,
-            cfg_strength=2.0, steps=4, use_sway=True, sway_coef=-1.0, use_epss=True))
+            params, TINY, step_cond, text, None, None, y0, 2.0, -1.0,
+            steps=4, use_cfg=True, use_sway=True, use_epss=True))
         b = np.asarray(_sample_core(
-            params, TINY, step_cond, text_padded, None, y0,
-            cfg_strength=2.0, steps=4, use_sway=True, sway_coef=-1.0, use_epss=True))
+            params, TINY, step_cond, text_padded, None, None, y0, 2.0, -1.0,
+            steps=4, use_cfg=True, use_sway=True, use_epss=True))
         np.testing.assert_array_equal(a, b)
 
     def test_cfm_sample_buckets_text(self, monkeypatch):

@@ -55,8 +55,8 @@ class TestTPInference:
             from korean_f5_tts_tpu.parallel.mesh import shard_batch
 
             sb = shard_batch({"c": step_cond, "y": y0, "m": mask}, mesh)
-            out = _sample_core(sp, TINY, sb["c"], text, sb["m"], sb["y"],
-                               cfg_strength=2.0, steps=2, use_sway=False,
-                               sway_coef=0.0, use_epss=True)
+            out = _sample_core(sp, TINY, sb["c"], text, sb["m"], None, sb["y"],
+                               2.0, 0.0, steps=2, use_cfg=True, use_sway=False,
+                               use_epss=True)
             out = np.asarray(jax.block_until_ready(out))
         assert out.shape == (b, N, 10) and np.isfinite(out).all()
