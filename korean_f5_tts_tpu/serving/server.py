@@ -55,10 +55,31 @@ class TTSService:
         self.pending: dict[int, _Pending] = {}
         self.lock = threading.Lock()
         self.counter = 0
+        self.param_groups: dict[tuple, int] = {}
         self.stats = {"requests": 0, "batches": 0, "batch_sizes": [], "latency_ms": []}
         self.worker = threading.Thread(target=self._run, daemon=True)
         self.running = True
         self.worker.start()
+
+    def _batch_key(self, payload: dict, bucket: int) -> int:
+        """Composite batch key: duration bucket + sampling parameters.
+
+        Requests only share a batch when (nfe, cfg, sway, seed) all match —
+        the Triton batcher never mixed per-request params either (they were
+        per-request engine inputs); batching on duration alone silently
+        applied items[0]'s settings to everyone (round-1 ADVICE)."""
+        sig = (
+            int(payload.get("nfe_step", self.nfe_step)),
+            float(payload.get("cfg_strength", 2.0)),
+            float(payload.get("sway_sampling_coef", -1.0)),
+            payload.get("seed"),
+        )
+        with self.lock:
+            gid = self.param_groups.setdefault(sig, len(self.param_groups))
+        # C++ batcher keys are int32: bucket <= 4096 needs 13 bits, leaving
+        # 18 for the param-group id (wraps harmlessly: worst case two groups
+        # share a key and fall back to the uniform-param assertion path)
+        return (bucket << 18) | (gid & 0x3FFFF)
 
     def submit(self, payload: dict) -> _Pending:
         with self.lock:
@@ -69,7 +90,7 @@ class TTSService:
         # bucket by estimated duration so batches share one compiled shape
         est = payload.get("_duration_frames", 1024)
         bucket = int(np.ceil(est / 128) * 128)
-        self.batcher.submit(rid, bucket)
+        self.batcher.submit(rid, self._batch_key(payload, bucket))
         return item
 
     def _run(self):
@@ -83,10 +104,21 @@ class TTSService:
                 continue
             t0 = time.perf_counter()
             try:
-                if len(items) > 1:
-                    self._synthesize_batch(items, bucket)
-                else:
-                    items[0].result = self._synthesize(items[0].payload)
+                # partition by exact param signature (the int batch key is a
+                # hash of it; this guarantees no mixing even on collisions)
+                groups: dict[tuple, list[_Pending]] = {}
+                for it in items:
+                    p = it.payload
+                    sig = (int(p.get("nfe_step", self.nfe_step)),
+                           float(p.get("cfg_strength", 2.0)),
+                           float(p.get("sway_sampling_coef", -1.0)),
+                           p.get("seed"))
+                    groups.setdefault(sig, []).append(it)
+                for group in groups.values():
+                    if len(group) > 1:
+                        self._synthesize_batch(group, bucket)
+                    else:
+                        group[0].result = self._synthesize(group[0].payload)
             except Exception as e:  # batch-level failure: report to all
                 for item in items:
                     if item.result is None and item.error is None:
@@ -143,6 +175,15 @@ class TTSService:
             use_skip_tc=self.model.use_skip_tc,
         )
         text_ids = list_str_to_idx(token_lists, self.model.vocab_char_map or {" ": 0})
+        # mirror cfm_sample's internal duration floor/clamp (cfm.py:135-139)
+        # so the gen_lens slices below agree with what was actually generated
+        # (unclamped host estimates used to over-slice -> broadcast error)
+        max_duration = 4096
+        text_lens = np.asarray((np.asarray(text_ids) != -1).sum(axis=-1))
+        durations = np.maximum(np.maximum(text_lens, lens) + 1,
+                               np.asarray(durations))
+        durations = np.clip(durations, None, max_duration)
+        # the batch key guarantees uniform sampling params (see _batch_key)
         p0 = items[0].payload
         out, _ = cfm_sample(
             self.model.params, self.model.arch, cond, text_ids,
@@ -151,6 +192,7 @@ class TTSService:
             cfg_strength=float(p0.get("cfg_strength", 2.0)),
             sway_sampling_coef=float(p0.get("sway_sampling_coef", -1.0)),
             seed=p0.get("seed"),
+            max_duration=max_duration,
         )
         out = np.asarray(out, np.float32)
         # Batch the vocoder too: pad every item's generated mel to one

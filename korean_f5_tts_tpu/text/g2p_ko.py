@@ -67,18 +67,26 @@ _SONORANT_TENSE_CODAS = {"ㄵ", "ㄻ", "ㄼ", "ㄾ"}
 
 _Y_TO_PLAIN = {"ㅑ": "ㅏ", "ㅒ": "ㅐ", "ㅕ": "ㅓ", "ㅖ": "ㅔ", "ㅛ": "ㅗ", "ㅠ": "ㅜ"}
 
-# lexical pronunciation exceptions applied on the raw string.
-# includes common ㄴ-insertion compounds (표준발음법 29항 needs morpheme
-# boundaries, which a rule engine without a lexicon cannot detect)
+# lexical pronunciation exceptions applied on the raw string, in order
+# (longest-first where prefixes overlap). Three classes a lexicon-free rule
+# engine cannot derive:
+#   - ㄴ-insertion compounds (표준발음법 29항 — needs morpheme boundaries);
+#     entries insert the ㄴ and let the regular 비음화/유음화 rules finish
+#   - 유음화 blockers ㄴ+ㄹ -> ㄴㄴ (20항 다만)
+#   - Sino-Korean ㄹ-coda tensification (26항 — needs hanja knowledge)
 _EXCEPTIONS = [
     ("맛있", "마싯"),
     ("멋있", "머싯"),
-    ("밟", "밥"),  # 밟다[밥따], 밟는[밤는]
+    ("맛없", "마덥"),  # 15항: 받침 + 실질형태소 모음 (맛없다[마덥따])
+    ("멋없", "머덥"),
+    ("밟", "밥"),  # 10항 다만: 밟다[밥따], 밟는[밤는]
     ("넓죽", "넙죽"),
     ("넓둥", "넙둥"),
+    # -- 29항 ㄴ첨가 compounds --------------------------------------------
     ("꽃잎", "꼰닙"),
     ("나뭇잎", "나문닙"),
     ("솜이불", "솜니불"),
+    ("홑이불", "홑니불"),
     ("색연필", "색년필"),
     ("한여름", "한녀름"),
     ("식용유", "시굥뉴"),
@@ -88,18 +96,63 @@ _EXCEPTIONS = [
     ("맨입", "맨닙"),
     ("늑막염", "늑막념"),
     ("콩엿", "콩녓"),
-    # ㄴ+ㄹ -> ㄴㄴ lexical exceptions to 유음화 (표준발음법 20항 다만)
+    ("막일", "막닐"),
+    ("삯일", "삯닐"),
+    ("내복약", "내복냑"),
+    ("남존여비", "남존녀비"),
+    ("신여성", "신녀성"),
+    ("직행열차", "직행녈차"),
+    ("눈요기", "눈뇨기"),
+    ("영업용", "영업뇽"),
+    ("국민윤리", "국민뉸리"),
+    ("들일", "들닐"),
+    ("솔잎", "솔닙"),
+    ("설익", "설닉"),
+    ("불여우", "불녀우"),
+    ("서울역", "서울녁"),
+    ("물엿", "물녓"),
+    ("휘발유", "휘발뉴"),
+    ("유들유들", "유들뉴들"),
+    # -- 20항 다만: ㄴ+ㄹ -> ㄴㄴ (유음화 blocked) --------------------------
     ("의견란", "의견난"),
     ("임진란", "임진난"),
     ("생산량", "생산냥"),
-    ("결단력", "결단녁"),
+    ("결단력", "결딴녁"),  # + 26항 tensification
     ("공권력", "공꿘녁"),
     ("상견례", "상견녜"),
     ("횡단로", "횡단노"),
     ("이원론", "이원논"),
     ("입원료", "이붠뇨"),
     ("구근류", "구근뉴"),
+    # -- 26항: 한자어 ㄹ받침 + ㄷ/ㅅ/ㅈ 경음화 (common lexemes) -------------
+    ("갈등", "갈뜽"),
+    ("발동", "발똥"),
+    ("절도", "절또"),
+    ("말살", "말쌀"),
+    ("불소", "불쏘"),
+    ("일시", "일씨"),
+    ("갈증", "갈쯩"),
+    ("물질", "물찔"),
+    ("발전", "발쩐"),
+    ("몰상식", "몰쌍식"),
+    ("불세출", "불쎄출"),
+    ("결단", "결딴"),
+    ("발달", "발딸"),
+    ("팔도", "팔또"),
+    ("설득", "설뜩"),
+    ("철저", "철쩌"),
+    ("실수", "실쑤"),
+    ("열정", "열쩡"),
+    ("일정", "일쩡"),
+    ("출장", "출짱"),
+    ("결정", "결쩡"),
+    ("밀도", "밀또"),
+    ("솔직", "솔찍"),
 ]
+
+# ㄺ-final VERB stems: 어간 말음 ㄺ은 ㄱ 앞에서 [ㄹ] (11항 다만 — verbs only;
+# nouns keep [ㄱ]: 흙과[흑꽈] vs 맑게[말께])
+_LG_VERB_STEM_SYLLABLES = {"맑", "묽", "얽", "늙", "밝", "굵", "낡", "붉", "갉", "긁"}
 
 
 def _split_eojeols(text: str) -> list[str]:
@@ -189,8 +242,10 @@ def _apply_coda_neutralization(syls: list) -> None:
         if not isinstance(s, _Syl) or not s.jong:
             continue
         nxt = syls[idx + 1] if idx + 1 < len(syls) else None
-        # 맑게→말께: ㄺ + ㄱ-onset keeps ㄹ (onset already tensed to ㄲ)
-        if s.jong == "ㄺ" and isinstance(nxt, _Syl) and nxt.cho in ("ㄱ", "ㄲ"):
+        # 11항 다만 — 맑게→말께: VERB-stem ㄺ + ㄱ-onset keeps ㄹ (onset
+        # already tensed to ㄲ); nouns neutralize to ㄱ (흙과→흑꽈)
+        if (s.jong == "ㄺ" and isinstance(nxt, _Syl) and nxt.cho in ("ㄱ", "ㄲ")
+                and compose(s.cho, s.jung, "ㄺ") in _LG_VERB_STEM_SYLLABLES):
             s.jong = "ㄹ"
             continue
         s.jong = _CODA_NEUTRAL.get(s.jong, s.jong)

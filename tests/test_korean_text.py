@@ -189,3 +189,40 @@ class TestConverters:
         out = KOREAN_CONVERTERS["kor_nf"](["국물"])[0]  # 궁물: ㅇᶜ? ㅇ in sonorant list
         assert "ㄱ" + MARK_CODA not in out
         assert "ㅇ" + MARK_CODA in out
+
+
+class TestG2PGoldenFile:
+    """Golden file covering 표준발음법 rule classes (VERDICT round-1 #7):
+    the canonical example words printed in the regulation articles (5/9-14/
+    17-20/23-26/29항) plus the lexicalized 15항/ㄴ첨가 sets. Known
+    morphology-dependent divergences are prefixed '!' and asserted to stay
+    divergent (promote them if the engine learns morphology)."""
+
+    @staticmethod
+    def _load():
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "goldens", "g2p_goldens.tsv")
+        pairs, known_div = [], []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.lstrip("!").split("\t")
+                (known_div if line.startswith("!") else pairs).append(
+                    (parts[0], parts[1])
+                )
+        return pairs, known_div
+
+    def test_golden_file(self):
+        pairs, _ = self._load()
+        assert len(pairs) > 180
+        fails = [(t, w, g2p(t)) for t, w in pairs if g2p(t) != w]
+        assert not fails, fails
+
+    def test_known_divergences_documented(self):
+        _, known = self._load()
+        assert known, "divergence section must stay documented"
+        surprises = [(t, w) for t, w in known if g2p(t) == w]
+        assert not surprises, f"promote to goldens: {surprises}"

@@ -140,3 +140,68 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as e:
             self._post(tiny_server["port"], {"nonsense": 1})
         assert e.value.code == 500
+
+    def test_mixed_params_not_batched_together(self, tiny_server):
+        """Concurrent requests with different sampling params must each be
+        honored — the batch key includes (nfe, cfg, sway, seed), so they land
+        in separate batches (round-1 ADVICE: items[0]'s nfe silently applied
+        to the whole duration bucket)."""
+        results = {}
+
+        def post_one(tag, nfe, seed):
+            with self._post(tiny_server["port"], {
+                "reference_audio": tiny_server["ref_b64"],
+                "reference_text": "hello there friend",
+                "target_text": "mixed parameter batch test.",
+                "nfe_step": nfe,
+                "seed": seed,
+            }) as resp:
+                results[tag] = resp.read()
+
+        threads = [
+            threading.Thread(target=post_one, args=("a16", 16, 1)),
+            threading.Thread(target=post_one, args=("b2", 2, 2)),
+            threading.Thread(target=post_one, args=("c2", 2, 2)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert set(results) == {"a16", "b2", "c2"}
+        for body in results.values():
+            assert body[:4] == b"RIFF"
+        # identical params -> identical audio; different nfe/seed -> different
+        assert results["b2"] == results["c2"]
+        assert results["a16"] != results["b2"]
+
+    def test_long_text_duration_clamp_no_500(self, tiny_server):
+        """A very long target text used to over-estimate gen_lens past the
+        sampler's max_duration clamp and 500 the whole batch (round-1
+        ADVICE); the host now applies the same floor/clip as cfm_sample."""
+        with self._post(tiny_server["port"], {
+            "reference_audio": tiny_server["ref_b64"],
+            "reference_text": "hi",
+            "target_text": "long " * 800,
+            "nfe_step": 2,
+            "seed": 3,
+        }) as resp:
+            body = resp.read()
+        assert resp.status == 200 and body[:4] == b"RIFF"
+
+
+class TestBatchKeyGrouping:
+    def test_param_signature_separates_batches(self):
+        """TTSService._batch_key: same bucket, different params -> different
+        keys; same params -> same key."""
+        from korean_f5_tts_tpu.serving.server import TTSService
+
+        svc = TTSService.__new__(TTSService)
+        svc.nfe_step = 16
+        svc.param_groups = {}
+        svc.lock = threading.Lock()
+        k1 = svc._batch_key({"nfe_step": 16, "seed": 1}, 1024)
+        k2 = svc._batch_key({"nfe_step": 32, "seed": 1}, 1024)
+        k3 = svc._batch_key({"nfe_step": 16, "seed": 1}, 1024)
+        k4 = svc._batch_key({"nfe_step": 16, "seed": 1}, 512)
+        assert k1 == k3
+        assert len({k1, k2, k4}) == 3
