@@ -173,7 +173,11 @@ def collate_batch(
     else:
         text_ids = np.full((len(items), max_text), -1, np.int32)
         for i, toks in enumerate(token_lists):
-            text_ids[i, : len(toks)] = [ord(c) % 256 for c in toks]
+            # utf-8-byte fallback for str tokens; pre-tokenized int ids pass
+            text_ids[i, : len(toks)] = [
+                t if isinstance(t, (int, np.integer)) else ord(t) % 256
+                for t in toks
+            ]
 
     return {
         "mel": mel,
@@ -183,6 +187,52 @@ def collate_batch(
     }
 
 
+class HFDataset:
+    """HuggingFace-datasets-backed rows: {audio: {array, sampling_rate}, text}.
+
+    Parity with reference HFDataset (dataset.py:45-107): frame length derived
+    from the raw audio length, 0.3-30 s duration filter with skip-forward,
+    host resample, lazy wav -> log-mel.
+    """
+
+    def __init__(self, hf_dataset, mel: MelConfig = MelConfig(), mel_fn=None):
+        self.data = hf_dataset
+        self.mel = mel
+        self._mel_fn = mel_fn
+
+    def get_frame_len(self, index: int) -> float:
+        row = self.data[index]
+        audio = np.asarray(row["audio"]["array"])
+        sr = row["audio"]["sampling_rate"]
+        return (audio.shape[-1] / sr) * self.mel.target_sample_rate / self.mel.hop_length
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        while True:
+            row = self.data[index]
+            audio = np.asarray(row["audio"]["array"], dtype=np.float32)
+            sr = row["audio"]["sampling_rate"]
+            duration = audio.shape[-1] / sr
+            if 0.3 <= duration <= 30:
+                break
+            index = (index + 1) % len(self.data)
+        wav = audio_utils.to_mono(audio)
+        if sr != self.mel.target_sample_rate:
+            wav = audio_utils.resample(wav, sr, self.mel.target_sample_rate)
+        if self._mel_fn is not None:
+            mel_spec = np.asarray(self._mel_fn(wav[None]))[0]
+        else:
+            import jax.numpy as jnp
+
+            from korean_f5_tts_tpu.ops.mel import log_mel_spectrogram
+
+            mel_spec = np.asarray(
+                log_mel_spectrogram(jnp.asarray(wav)[None], self.mel))[0]
+        return {"mel_spec": mel_spec, "text": row["text"]}
+
+
 def load_dataset(
     dataset_name: str,
     tokenizer: str = "pinyin",
@@ -190,11 +240,36 @@ def load_dataset(
     audio_type: str = "raw",
     mel_spec_kwargs: dict | None = None,
     data_dir: str | None = None,
-) -> CustomDataset:
-    """Load data/{name}_{tokenizer}/raw.arrow + duration.json (dataset.py:271-319)."""
-    data_dir = data_dir or os.environ.get("F5_TTS_DATA_DIR", "data")
-    base = os.path.join(data_dir, f"{dataset_name}_{tokenizer}")
+) -> "CustomDataset | HFDataset":
+    """Dataset dispatch (dataset.py:271-319):
+      - CustomDataset:     data/{name}_{tokenizer}/raw.arrow + duration.json
+      - CustomDatasetPath: `dataset_name` IS the directory (no tokenizer suffix)
+      - HFDataset:         "<repo>_<split>" loaded via the `datasets` library
+                           (local cache/disk path accepted; zero-egress images
+                           need the dataset pre-downloaded or saved_to_disk)
+    """
     mel = MelConfig(**(mel_spec_kwargs or {}))
+
+    if dataset_type == "HFDataset":
+        import datasets as hfds
+
+        if os.path.isdir(dataset_name):  # a save_to_disk directory
+            ds = hfds.load_from_disk(dataset_name)
+            if not hasattr(ds, "__getitem__") or isinstance(ds, hfds.DatasetDict):
+                ds = ds["train"]
+        else:
+            pre, _, post = dataset_name.partition("_")
+            ds = hfds.load_dataset(
+                f"{pre}/{pre}", split=f"train.{post}" if post else "train",
+                cache_dir=os.environ.get("F5_TTS_DATA_DIR", "data"),
+            )
+        return HFDataset(ds, mel=mel)
+
+    data_dir = data_dir or os.environ.get("F5_TTS_DATA_DIR", "data")
+    if dataset_type == "CustomDatasetPath":
+        base = dataset_name
+    else:
+        base = os.path.join(data_dir, f"{dataset_name}_{tokenizer}")
 
     preprocessed = False
     if audio_type == "raw":

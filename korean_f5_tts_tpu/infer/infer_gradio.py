@@ -3,9 +3,10 @@
 Parity with reference `src/f5_tts/infer/infer_gradio.py` (3 tabs at
 `:216,395,751`, custom model loader `:77-96`, cached infer `:131-215`).
 gradio is not installed in this image, so the app builds lazily; the
-tab logic and the speech-type tag parser are importable and tested without
-it. The voice-chat tab requires a local chat LLM + ASR and stays gated
-offline (reference uses Qwen2.5-3B + Whisper downloads).
+tab logic (speech-type tag parser, VoiceChatSession pipeline) is importable
+and tested without it. The voice-chat tab's LLM backend loads any local
+transformers causal-LM checkpoint (reference hardcodes Qwen2.5-3B +
+downloads Whisper; zero-egress builds inject backends).
 """
 
 from __future__ import annotations
@@ -60,6 +61,95 @@ def synthesize_segments(segments: list[dict], voices: dict[str, dict], model_obj
         )
         out.append(wav)
     return (np.concatenate(out) if out else None), sr
+
+
+def chat_model_inference(messages: list[dict], model, tokenizer,
+                         max_new_tokens: int = 512, temperature: float = 0.7,
+                         top_p: float = 0.95) -> str:
+    """Chat-template generation with a transformers causal LM — the exact
+    contract of the reference's Qwen2.5 path (infer_gradio.py:99-119)."""
+    text = tokenizer.apply_chat_template(
+        messages, tokenize=False, add_generation_prompt=True)
+    inputs = tokenizer([text], return_tensors="pt").to(model.device)
+    generated = model.generate(**inputs, max_new_tokens=max_new_tokens,
+                               temperature=temperature, top_p=top_p)
+    trimmed = [out[len(inp):] for inp, out in zip(inputs.input_ids, generated)]
+    return tokenizer.batch_decode(trimmed, skip_special_tokens=True)[0]
+
+
+def make_hf_chat_backend(model_name: str = "Qwen/Qwen2.5-3B-Instruct"):
+    """messages -> reply via a local HF checkpoint (download/path required;
+    zero-egress builds inject their own backend into VoiceChatSession)."""
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    model = AutoModelForCausalLM.from_pretrained(model_name, torch_dtype="auto",
+                                                 device_map="auto")
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+    return lambda messages: chat_model_inference(messages, model, tokenizer)
+
+
+class VoiceChatSession:
+    """Voice-chat tab core (reference infer_gradio.py:751-961), UI-free.
+
+    Pipeline per user turn: audio/text in -> ASR (set_asr_backend or typed
+    text) -> chat LLM (injectable `chat_fn(messages) -> str`) -> TTS of the
+    assistant reply in the reference voice. Conversation state is the
+    message list the reference keeps in the gr.Chatbot.
+    """
+
+    DEFAULT_SYSTEM_PROMPT = (
+        "You are not an AI assistant, you are whoever the user says you are. "
+        "You must stay in character. Keep your responses concise since they "
+        "will be spoken out loud."
+    )
+
+    def __init__(self, chat_fn, model_obj=None, vocoder=None,
+                 system_prompt: str | None = None):
+        self.chat_fn = chat_fn
+        self.model_obj = model_obj
+        self.vocoder = vocoder
+        self.system_prompt = system_prompt or self.DEFAULT_SYSTEM_PROMPT
+        self.conversation: list[dict] = []
+
+    def process_audio_input(self, audio_path: str | None, text: str = "") -> str | None:
+        """User turn: transcribe the clip (or take typed text) and append
+        (infer_gradio.py:863-877)."""
+        if audio_path:
+            from korean_f5_tts_tpu.infer.utils_infer import preprocess_ref_audio_text
+
+            text = preprocess_ref_audio_text(audio_path, text)[1]
+        if not (text or "").strip():
+            return None
+        self.conversation.append({"role": "user", "content": text})
+        return text
+
+    def generate_text_response(self) -> str:
+        """Assistant turn via the chat backend (infer_gradio.py:879-891)."""
+        messages = [{"role": "system", "content": self.system_prompt}]
+        messages += self.conversation
+        reply = self.chat_fn(messages)
+        self.conversation.append({"role": "assistant", "content": reply})
+        return reply
+
+    def generate_audio_response(self, ref_audio, ref_text: str,
+                                seed: int | None = None, nfe_step: int = 32):
+        """TTS of the last assistant reply in the reference voice
+        (infer_gradio.py:893-917). Returns (wav, sr) or None."""
+        if not self.conversation or self.conversation[-1]["role"] != "assistant":
+            return None
+        if self.model_obj is None:
+            return None
+        from korean_f5_tts_tpu.infer.utils_infer import infer_process
+
+        wav, sr, _ = infer_process(
+            ref_audio, ref_text, self.conversation[-1]["content"],
+            self.model_obj, self.vocoder, nfe_step=nfe_step,
+            show_info=lambda *a: None, seed=seed,
+        )
+        return wav, sr
+
+    def clear(self) -> None:
+        self.conversation = []
 
 
 def build_app(model_name: str = DEFAULT_TTS_MODEL, ckpt_file: str = "",
@@ -140,8 +230,60 @@ def build_app(model_name: str = DEFAULT_TTS_MODEL, ckpt_file: str = "",
                 multi_out,
             )
         with gr.Tab("Voice Chat"):
-            gr.Markdown("Voice chat needs a local chat LLM + ASR checkpoint; "
-                        "unavailable in offline builds.")
+            gr.Markdown("Have a conversation with an AI using your reference "
+                        "voice. Requires a local chat LLM checkpoint "
+                        "(e.g. Qwen/Qwen2.5-3B-Instruct) and an ASR backend.")
+            chat_model_name = gr.Textbox(label="Chat model (HF name or path)",
+                                         value="Qwen/Qwen2.5-3B-Instruct")
+            load_chat_btn = gr.Button("Load chat model", variant="primary")
+            chat_status = gr.Markdown("*no chat model loaded*")
+            chat_ref_audio = gr.Audio(label="Reference audio", type="filepath")
+            chat_ref_text = gr.Textbox(label="Reference text")
+            system_prompt = gr.Textbox(label="System prompt",
+                                       value=VoiceChatSession.DEFAULT_SYSTEM_PROMPT,
+                                       lines=2)
+            chatbot = gr.Chatbot(label="Conversation", type="messages")
+            chat_text = gr.Textbox(label="Type your message")
+            chat_audio_in = gr.Microphone(label="Or speak", type="filepath")
+            chat_out = gr.Audio(label="AI voice reply", autoplay=True)
+            clear_btn = gr.Button("Clear conversation")
+            session_state = gr.State(None)
+
+            def load_chat(name, prompt):
+                session = VoiceChatSession(
+                    make_hf_chat_backend(name), model_obj=model_obj,
+                    vocoder=vocoder, system_prompt=prompt)
+                return session, f"chat model `{name}` loaded"
+
+            def chat_turn(session, audio_path, text, ref_audio_path, ref_text_v):
+                if session is None:
+                    return session, [], None
+                if session.process_audio_input(audio_path, text) is None:
+                    return session, list(session.conversation), None
+                session.generate_text_response()
+                out = None
+                if ref_audio_path:
+                    res = session.generate_audio_response(ref_audio_path,
+                                                          ref_text_v)
+                    if res is not None:
+                        wav, sr = res
+                        out = (sr, wav)
+                return session, list(session.conversation), out
+
+            def clear_chat(session):
+                if session is not None:
+                    session.clear()
+                return session, [], None
+
+            load_chat_btn.click(load_chat, [chat_model_name, system_prompt],
+                                [session_state, chat_status])
+            for trigger in (chat_text.submit, chat_audio_in.stop_recording):
+                trigger(chat_turn,
+                        [session_state, chat_audio_in, chat_text,
+                         chat_ref_audio, chat_ref_text],
+                        [session_state, chatbot, chat_out])
+            clear_btn.click(clear_chat, [session_state],
+                            [session_state, chatbot, chat_out])
     return app
 
 

@@ -54,10 +54,20 @@ def param_partition_spec(path_elems: tuple, leaf) -> P:
 
 
 def shard_params(params, mesh: Mesh):
-    """Place a param pytree on the mesh per the TP rules (replicated on data)."""
+    """Place a param pytree on the mesh per the TP rules (replicated on data).
+
+    Multi-process: every process holds the full (identically-initialized)
+    host array; `make_array_from_process_local_data` carves out each
+    process's addressable shards (the model axis is kept within a process —
+    see make_mesh device order)."""
+    multiproc = jax.process_count() > 1
+
     def place(path, leaf):
         spec = param_partition_spec(path, leaf)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sh = NamedSharding(mesh, spec)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, np.asarray(leaf))
+        return jax.device_put(leaf, sh)
 
     return jax.tree_util.tree_map_with_path(place, params)
 

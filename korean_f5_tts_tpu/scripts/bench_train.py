@@ -28,6 +28,9 @@ def main(argv=None):
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--no-ema", dest="ema", action="store_false", default=True)
     p.add_argument("--device", default=None)
+    p.add_argument("--io_overlap", action="store_true",
+                   help="also measure input-pipeline overlap: step time with "
+                        "synchronous host wav->mel vs the trainer prefetcher")
     args = p.parse_args(argv)
     import jax
     import jax.numpy as jnp
@@ -73,13 +76,50 @@ def main(argv=None):
         float(l)
     dt = (time.perf_counter() - t0) / args.iters
     frames = batch * args.seq_len
-    print(json.dumps({
+    result = {
         "metric": "train_frames_per_s",
         "value": round(frames / dt, 1),
         "unit": f"mel frames/s per chip (batch {batch} x {args.seq_len}, "
                 f"{'bf16' if args.bf16 else 'fp32'})",
         "step_ms": round(dt * 1e3, 1),
-    }))
+    }
+
+    if args.io_overlap:
+        # input-pipeline overlap check: emulate per-step host work (wav->mel
+        # for the whole batch) and measure the step time with and without the
+        # trainer's _Prefetcher thread hiding it behind the device step
+        from korean_f5_tts_tpu.ops.mel import MelConfig, log_mel_spectrogram
+        from korean_f5_tts_tpu.train.trainer import _Prefetcher
+
+        mel_cfg = MelConfig()
+        wav_len = args.seq_len * mel_cfg.hop_length
+        host_wavs = rng.standard_normal((batch, wav_len)).astype(np.float32)
+
+        def host_prep():
+            # the expensive host-side path a real epoch pays per step
+            return np.asarray(log_mel_spectrogram(jnp.asarray(host_wavs), mel_cfg))
+
+        def timed_epoch(prefetch: bool, steps: int = 4) -> float:
+            gen = (host_prep() for _ in range(steps))
+            stream = _Prefetcher(gen, depth=2) if prefetch else gen
+            t0 = time.perf_counter()
+            pend = []
+            st = state
+            for _ in stream:
+                st, l = train_step(st, data, jax.random.PRNGKey(2), arch, opt,
+                                   CFMConfig(), compute_dtype=dtype)
+                pend.append(l)
+            for l in pend:
+                float(l)
+            return (time.perf_counter() - t0) / steps
+
+        sync_ms = timed_epoch(False) * 1e3
+        overlap_ms = timed_epoch(True) * 1e3
+        result["io_sync_step_ms"] = round(sync_ms, 1)
+        result["io_prefetch_step_ms"] = round(overlap_ms, 1)
+        result["io_overlap_gain"] = round(sync_ms / max(overlap_ms, 1e-9), 3)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

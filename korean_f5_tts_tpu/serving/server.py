@@ -47,10 +47,12 @@ class TTSService:
     per-request events."""
 
     def __init__(self, model_obj, vocoder, max_batch: int = 8,
-                 max_wait_us: int = 5_000, nfe_step: int = 16):
+                 max_wait_us: int = 5_000, nfe_step: int = 16,
+                 max_duration: int = 4096):
         self.model = model_obj
         self.vocoder = vocoder
         self.nfe_step = nfe_step
+        self.max_duration = max_duration  # sampler frame cap (engine max_seq_len role)
         self.batcher = NativeBatcher(max_batch=max_batch, max_wait_us=max_wait_us)
         self.pending: dict[int, _Pending] = {}
         self.lock = threading.Lock()
@@ -178,7 +180,7 @@ class TTSService:
         # mirror cfm_sample's internal duration floor/clamp (cfm.py:135-139)
         # so the gen_lens slices below agree with what was actually generated
         # (unclamped host estimates used to over-slice -> broadcast error)
-        max_duration = 4096
+        max_duration = self.max_duration
         text_lens = np.asarray((np.asarray(text_ids) != -1).sum(axis=-1))
         durations = np.maximum(np.maximum(text_lens, lens) + 1,
                                np.asarray(durations))

@@ -77,7 +77,158 @@ def read_jsonl_corpus(path: str, audio_key: str = "audio_path",
     return rows
 
 
-READERS = {"csv": read_csv_corpus, "kss": read_kss_corpus, "jsonl": read_jsonl_corpus}
+def repetition_found(text: str, length: int = 2, tolerance: int = 10) -> bool:
+    """True if any length-n substring repeats more than `tolerance` times —
+    the reference's synthetic/looped-audio text filter (utils.py:524-532)."""
+    from collections import defaultdict
+
+    counts: dict[str, int] = defaultdict(int)
+    for i in range(len(text) - length + 1):
+        counts[text[i: i + length]] += 1
+    return any(c > tolerance for c in counts.values())
+
+
+# Bad-utterance ID lists + character filters from the reference's Emilia ETL
+# (prepare_emilia.py:24-109 — curated data, reproduced as the filter spec:
+# known synthesized / heavily code-switched clips).
+EMILIA_OUT_ZH = {
+    "ZH_B00041_S06226", "ZH_B00042_S09204", "ZH_B00065_S09430",
+    "ZH_B00065_S09431", "ZH_B00066_S09327", "ZH_B00066_S09328",
+}
+EMILIA_ZH_FILTERS = ["い", "て"]
+EMILIA_OUT_EN = {
+    "EN_B00013_S00913", "EN_B00042_S00120", "EN_B00055_S04111",
+    "EN_B00061_S00693", "EN_B00061_S01494", "EN_B00061_S03375",
+    "EN_B00059_S00092", "EN_B00111_S04300", "EN_B00100_S03759",
+    "EN_B00087_S03811", "EN_B00059_S00950", "EN_B00089_S00946",
+    "EN_B00078_S05127", "EN_B00070_S04089", "EN_B00074_S09659",
+    "EN_B00061_S06983", "EN_B00061_S07060", "EN_B00059_S08397",
+    "EN_B00082_S06192", "EN_B00091_S01238", "EN_B00089_S07349",
+    "EN_B00070_S04343", "EN_B00061_S02400", "EN_B00076_S01262",
+    "EN_B00068_S06467", "EN_B00076_S02943", "EN_B00064_S05954",
+    "EN_B00061_S05386", "EN_B00066_S06544", "EN_B00076_S06944",
+    "EN_B00072_S08620", "EN_B00076_S07135", "EN_B00076_S09127",
+    "EN_B00065_S00497", "EN_B00059_S06227", "EN_B00063_S02859",
+    "EN_B00075_S01547", "EN_B00061_S08286", "EN_B00079_S02901",
+    "EN_B00092_S03643", "EN_B00096_S08653", "EN_B00063_S04297",
+    "EN_B00063_S04614", "EN_B00079_S04698", "EN_B00104_S01666",
+    "EN_B00061_S09504", "EN_B00061_S09694", "EN_B00065_S05444",
+    "EN_B00063_S06860", "EN_B00065_S05725", "EN_B00069_S07628",
+    "EN_B00083_S03875", "EN_B00071_S07665", "EN_B00062_S04187",
+    "EN_B00065_S09873", "EN_B00065_S09922", "EN_B00084_S02463",
+    "EN_B00067_S05066", "EN_B00106_S08060", "EN_B00073_S06399",
+    "EN_B00073_S09236", "EN_B00087_S00432", "EN_B00085_S05618",
+    "EN_B00064_S01262", "EN_B00072_S01739", "EN_B00059_S03913",
+    "EN_B00069_S04036", "EN_B00067_S05623", "EN_B00060_S05389",
+    "EN_B00060_S07290", "EN_B00062_S08995",
+}
+EMILIA_EN_FILTERS = ["ا", "い", "て"]
+
+
+def _emilia_one_jsonl(jsonl_path: str) -> list[dict]:
+    """One Emilia shard: filter bad IDs / foreign chars / repetition loops,
+    normalize ZH punctuation (prepare_emilia.py:111-147)."""
+    rows = []
+    base = Path(jsonl_path).parent
+    with open(jsonl_path, "r", encoding="utf-8") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            obj = json.loads(line)
+            text, lang = obj["text"], obj.get("language", "")
+            utt_id = obj["wav"].split("/")[1] if "/" in obj["wav"] else obj["wav"]
+            if lang == "zh":
+                if (utt_id in EMILIA_OUT_ZH
+                        or any(c in text for c in EMILIA_ZH_FILTERS)
+                        or repetition_found(text)):
+                    continue
+                text = text.translate(str.maketrans({",": "，", "!": "！", "?": "？"}))
+            elif lang == "en":
+                if (utt_id in EMILIA_OUT_EN
+                        or any(c in text for c in EMILIA_EN_FILTERS)
+                        or repetition_found(text, length=4)):
+                    continue
+            rows.append({"audio_path": str(base / obj["wav"]), "text": text,
+                         "duration": float(obj["duration"])})
+    return rows
+
+
+def read_emilia_corpus(root: str, langs: tuple[str, ...] = ("ZH", "EN"),
+                       max_workers: int | None = None) -> list[dict]:
+    """Emilia layout: root/{LANG}/*.jsonl shards next to their audio dirs;
+    shards processed in parallel (prepare_emilia.py's ProcessPoolExecutor —
+    threads here: the work is IO + small JSON, and one fork per shard on a
+    single-core host is pure overhead)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    shards = []
+    for lang in langs:
+        lang_dir = Path(root) / lang
+        if lang_dir.is_dir():
+            shards.extend(sorted(str(p) for p in lang_dir.glob("*.jsonl")))
+    rows: list[dict] = []
+    with ThreadPoolExecutor(max_workers=max_workers or 4) as ex:
+        for sub in ex.map(_emilia_one_jsonl, shards):
+            rows.extend(sub)
+    return rows
+
+
+def read_libritts_corpus(root: str) -> list[dict]:
+    """LibriTTS layout: walk for *.normalized.txt next to same-stem wavs
+    (prepare_libritts.py role)."""
+    rows = []
+    for txt in sorted(Path(root).rglob("*.normalized.txt")):
+        wav = txt.with_name(txt.name.replace(".normalized.txt", ".wav"))
+        if wav.exists():
+            rows.append({"audio_path": str(wav),
+                         "text": txt.read_text(encoding="utf-8").strip()})
+    return rows
+
+
+def read_ljspeech_corpus(root: str) -> list[dict]:
+    """LJSpeech metadata.csv `id|raw|normalized`, normalized column used
+    (prepare_ljspeech.py role)."""
+    rows = []
+    with open(os.path.join(root, "metadata.csv"), "r", encoding="utf-8") as f:
+        for line in f:
+            rec = line.rstrip("\n").split("|")
+            if len(rec) < 3:
+                continue
+            rows.append({"audio_path": os.path.join(root, "wavs", rec[0] + ".wav"),
+                         "text": rec[2].strip()})
+    return rows
+
+
+def read_wenetspeech4tts_corpus(root: str) -> list[dict]:
+    """WenetSpeech4TTS: {Premium,Standard,Basic}/*/wav_text pairs listed in
+    .txt manifests `utt_path<TAB>text` (prepare_wenetspeech4tts.py role)."""
+    rows = []
+    for tier in ("Premium", "Standard", "Basic"):
+        tier_dir = Path(root) / tier
+        if not tier_dir.is_dir():
+            continue
+        for manifest in sorted(tier_dir.rglob("*.txt")):
+            for line in manifest.read_text(encoding="utf-8").splitlines():
+                parts = line.split("\t")
+                if len(parts) < 2:
+                    continue
+                wav = parts[0] if parts[0].endswith(".wav") else parts[0] + ".wav"
+                wav_path = Path(wav)
+                if not wav_path.is_absolute():
+                    wav_path = manifest.parent / wav
+                rows.append({"audio_path": str(wav_path), "text": parts[1].strip()})
+    return rows
+
+
+READERS = {
+    "csv": read_csv_corpus,
+    "kss": read_kss_corpus,
+    "jsonl": read_jsonl_corpus,
+    "emilia": read_emilia_corpus,
+    "libritts": read_libritts_corpus,
+    "ljspeech": read_ljspeech_corpus,
+    "wenetspeech4tts": read_wenetspeech4tts_corpus,
+}
 
 
 # -- tokenization ------------------------------------------------------------

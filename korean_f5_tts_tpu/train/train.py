@@ -45,6 +45,11 @@ def main(argv=None):
                         help="tensor-parallel degree over the device mesh")
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
+    from korean_f5_tts_tpu.parallel.distributed import maybe_initialize_distributed
+
+    # multi-host: must run before any backend touch (the Accelerate-DDP
+    # equivalent, reference trainer.py:59-70; env-triggered, see distributed.py)
+    maybe_initialize_distributed()
     from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()

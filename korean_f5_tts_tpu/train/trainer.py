@@ -35,6 +35,45 @@ from korean_f5_tts_tpu.train.step import (
 )
 
 
+class _Prefetcher:
+    """Bounded background iterator: overlaps host-side batch prep (audio IO,
+    wav->mel, collate) with the device step. Replaces the reference
+    DataLoader's worker pool (trainer.py:300-317) with one thread + queue —
+    on a single-core host more workers only add contention."""
+
+    _SENTINEL = object()
+
+    def __init__(self, gen, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._exc: BaseException | None = None
+
+        def run():
+            try:
+                for item in gen:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._exc = e
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+
 class Trainer:
     def __init__(
         self,
@@ -111,7 +150,19 @@ class Trainer:
 
     # -- checkpointing ------------------------------------------------------
 
+    @staticmethod
+    def _to_host(x):
+        """Global array -> host numpy. Multi-process arrays are data-
+        replicated (TP stays within a process for npz checkpoints), so the
+        first addressable shard IS the full value."""
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x)
+
     def save_checkpoint(self, update: int, last: bool = False) -> str:
+        if jax.process_count() > 1 and self.ckpt_format == "npz" \
+                and jax.process_index() != 0:
+            return ""  # rank 0 writes; params are data-replicated
         os.makedirs(self.checkpoint_path, exist_ok=True)
         if self.ckpt_format == "orbax":
             # sharded params stay distributed — no host gather
@@ -126,9 +177,9 @@ class Trainer:
         path = os.path.join(self.checkpoint_path, name)
         ckpt_lib.save_checkpoint(
             path,
-            jax.tree_util.tree_map(np.asarray, self.state.params),
-            opt_state=self.state.opt_state,
-            ema_params=jax.tree_util.tree_map(np.asarray, self.state.ema_params)
+            jax.tree_util.tree_map(self._to_host, self.state.params),
+            opt_state=jax.tree_util.tree_map(self._to_host, self.state.opt_state),
+            ema_params=jax.tree_util.tree_map(self._to_host, self.state.ema_params)
             if self.state.ema_params is not None else None,
             update=update,
         )
@@ -184,6 +235,68 @@ class Trainer:
 
         return _Static(batches)
 
+    def _load_local_batch(self, dataset, batch_idx) -> tuple[dict, int | None]:
+        """Host-side IO + mel + collate for one packed batch (prefetchable:
+        no collectives, no device placement). Returns (local numpy batch,
+        target row count for multi-host padding or None single-process)."""
+        world = jax.process_count()
+        if world > 1 and self.mesh is not None:
+            from korean_f5_tts_tpu.parallel import distributed as dist
+
+            rank = jax.process_index()
+            local_idx = dist.shard_rows_for_process(list(batch_idx), rank, world)
+            n_data = self.mesh.shape.get("data", 1)
+            local_data = max(n_data // world, 1)
+            rows = -(-len(batch_idx) // world)  # same on all ranks
+            rows = -(-rows // local_data) * local_data
+            items = [dataset[i] for i in local_idx]
+            if not items:  # degenerate tiny batch: feed one zero row
+                items = [dataset[batch_idx[0]]]
+                local_np = collate_batch(items, self.vocab_char_map,
+                                         self.tokenize_fn)
+                local = {
+                    "mel": np.zeros_like(local_np["mel"][:1]),
+                    "text": np.full_like(local_np["text"][:1], -1),
+                    "lens": np.zeros(1, local_np["mel_lengths"].dtype),
+                }
+            else:
+                local_np = collate_batch(items, self.vocab_char_map,
+                                         self.tokenize_fn)
+                local = {
+                    "mel": local_np["mel"],
+                    "text": local_np["text"],
+                    "lens": local_np["mel_lengths"],
+                }
+            return local, rows
+        items = [dataset[i] for i in batch_idx]
+        batch_np = collate_batch(items, self.vocab_char_map, self.tokenize_fn)
+        return {
+            "mel": batch_np["mel"],
+            "text": batch_np["text"],
+            "lens": batch_np["mel_lengths"],
+        }, None
+
+    def _place_batch(self, local: dict, rows: int | None):
+        """Device placement (+multi-host collectives) — main thread only."""
+        if rows is not None:
+            from korean_f5_tts_tpu.parallel import distributed as dist
+
+            local = dist.equalize_padded_dims(local)
+            local = dist.pad_rows(local, rows)
+            return dist.make_global_batch(local, self.mesh)
+        if self.mesh is not None:
+            # batch dim must divide the data axis: pad with zero-length rows
+            # (lens=0 -> empty loss span)
+            n_data = self.mesh.shape.get("data", 1)
+            b = local["mel"].shape[0]
+            pad = (-b) % n_data
+            if pad:
+                from korean_f5_tts_tpu.parallel.distributed import pad_rows
+
+                local = pad_rows(local, b + pad)
+            return shard_batch(local, self.mesh)
+        return local
+
     def train(self, dataset, num_workers: int = 0, resumable_with_seed: int | None = None,
               resume_from: str | None = None, log_every: int = 10,
               max_updates: int | None = None) -> dict:
@@ -199,36 +312,22 @@ class Trainer:
         t0 = time.time()
         for epoch in range(start_epoch, self.epochs):
             sampler.set_epoch(epoch)
-            for bi, batch_idx in enumerate(sampler):
-                if epoch == start_epoch and bi < skip_batches:
-                    continue  # deterministic resume (trainer.py:340-347)
-                items = [dataset[i] for i in batch_idx]
-                batch_np = collate_batch(items, self.vocab_char_map, self.tokenize_fn)
-                batch = {
-                    "mel": batch_np["mel"],
-                    "text": batch_np["text"],
-                    "lens": batch_np["mel_lengths"],
-                }
-                if self.mesh is not None:
-                    # batch dim must divide the data axis: pad with
-                    # zero-length rows (lens=0 -> empty loss span)
-                    n_data = self.mesh.shape.get("data", 1)
-                    b = batch["mel"].shape[0]
-                    pad = (-b) % n_data
-                    if pad:
-                        batch = {
-                            "mel": np.concatenate(
-                                [batch["mel"],
-                                 np.zeros((pad, *batch["mel"].shape[1:]),
-                                          batch["mel"].dtype)]),
-                            "text": np.concatenate(
-                                [batch["text"],
-                                 np.full((pad, batch["text"].shape[1]), -1,
-                                         batch["text"].dtype)]),
-                            "lens": np.concatenate(
-                                [batch["lens"], np.zeros(pad, batch["lens"].dtype)]),
-                        }
-                    batch = shard_batch(batch, self.mesh)
+
+            def epoch_stream(epoch=epoch):
+                for bi, batch_idx in enumerate(sampler):
+                    if epoch == start_epoch and bi < skip_batches:
+                        continue  # deterministic resume (trainer.py:340-347)
+                    yield self._load_local_batch(dataset, batch_idx)
+
+            # wav->mel + collate overlap with the device step: a bounded
+            # background prefetcher replaces the reference's DataLoader
+            # num_workers (trainer.py:300-317). Collectives/device_put stay
+            # on the main thread (_place_batch) — ordering must match
+            # across processes.
+            stream = (_Prefetcher(epoch_stream(), depth=max(2, num_workers))
+                      if num_workers > 0 else epoch_stream())
+            for local, rows in stream:
+                batch = self._place_batch(local, rows)
                 step_key = jax.random.fold_in(key, update)
                 self.state, loss = train_step(
                     self.state, batch, step_key, self.arch, self.optimizer,
@@ -236,7 +335,7 @@ class Trainer:
                     compute_dtype=self.compute_dtype,
                 )
                 update += 1
-                losses.append(float(loss))
+                losses.append(float(self._to_host(loss)))
                 if update % log_every == 0:
                     dt = time.time() - t0
                     print(f"update {update} loss {np.mean(losses[-log_every:]):.4f} "

@@ -174,19 +174,51 @@ class TestHTTPServer:
         assert results["b2"] == results["c2"]
         assert results["a16"] != results["b2"]
 
-    def test_long_text_duration_clamp_no_500(self, tiny_server):
+
+
+class TestBatchDurationClamp:
+    def test_long_text_batch_clamps_not_crashes(self):
         """A very long target text used to over-estimate gen_lens past the
-        sampler's max_duration clamp and 500 the whole batch (round-1
-        ADVICE); the host now applies the same floor/clip as cfm_sample."""
-        with self._post(tiny_server["port"], {
-            "reference_audio": tiny_server["ref_b64"],
-            "reference_text": "hi",
-            "target_text": "long " * 800,
-            "nfe_step": 2,
-            "seed": 3,
-        }) as resp:
-            body = resp.read()
-        assert resp.status == 200 and body[:4] == b"RIFF"
+        sampler's max_duration clamp and raise a broadcast error that 500'd
+        the whole batch (round-1 ADVICE); the host now applies the same
+        floor/clip as cfm_sample. Exercises _synthesize_batch directly with
+        a small max_duration so the CPU compile stays tiny."""
+        import jax
+
+        from korean_f5_tts_tpu.config import DiTConfig, ModelConfig
+        from korean_f5_tts_tpu.infer.model import load_model
+        from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+        from korean_f5_tts_tpu.serving.server import TTSService, _Pending
+
+        arch = DiTConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                         mel_dim=100, text_num_embeds=40, text_dim=16,
+                         conv_layers=0)
+        model = load_model(ModelConfig(name="tiny", backbone="DiT", arch=arch,
+                                       tokenizer="custom"), use_n2gk_plus=False)
+        model.vocab_char_map = {c: i for i, c in
+                                enumerate(" abcdefghijklmnopqrstuvwxyz.,!")}
+        vcfg = VocosConfig(input_channels=100, dim=16, intermediate_dim=32,
+                           num_layers=1)
+        vparams = init_vocos(jax.random.PRNGKey(0), vcfg)
+        vocoder = jax.jit(lambda m: vocos_decode(vparams, m, vcfg))
+
+        svc = TTSService.__new__(TTSService)
+        svc.model, svc.vocoder, svc.nfe_step = model, vocoder, 2
+        svc.max_duration = 96
+        svc.stats = {"requests": 0}
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        items = [
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "long " * 400, "nfe_step": 2, "seed": 1}),
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "ok.", "nfe_step": 2, "seed": 1}),
+        ]
+        svc._synthesize_batch(items, bucket=128)
+        for it in items:
+            assert it.error is None
+            wav, out_sr = it.result
+            assert out_sr == sr and np.asarray(wav).size > 0
 
 
 class TestBatchKeyGrouping:
