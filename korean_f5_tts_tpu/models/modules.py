@@ -97,9 +97,35 @@ def conv1d_init(key, c_in: int, c_out: int, kernel: int, groups: int = 1, bias: 
     return p
 
 
+def _depthwise_conv1d_shifts(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
+    """Depthwise conv1d (groups == channels) as k shifted elementwise FMAs.
+
+    XLA's grouped-conv lowering degenerates for feature_group_count == C on
+    TPU (scalar-ish MXU tiles); a 7-tap depthwise filter is just 7 broadcast
+    multiplies over [b, n, c], which XLA fuses into ONE VPU pass. Exact same
+    math ('SAME' zero padding), ~2 orders of magnitude faster for the Vocos
+    ConvNeXt stack."""
+    w = p["w"].astype(x.dtype)  # [k, 1, c]
+    k = w.shape[0]
+    pad = (dilation * (k - 1)) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    n = x.shape[1]
+    y = None
+    for t in range(k):
+        term = jax.lax.slice_in_dim(xp, t * dilation, t * dilation + n, axis=1) * w[t, 0]
+        y = term if y is None else y + term
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 def conv1d(p: dict, x: jax.Array, groups: int = 1, padding: str | int = "SAME",
            dilation: int = 1) -> jax.Array:
     """x: [b, n, c_in] channels-last; kernel [k, c_in/groups, c_out]."""
+    k = p["w"].shape[0]
+    if (groups == x.shape[-1] and p["w"].shape[1] == 1 and k <= 16 and k % 2 == 1
+            and (padding == "SAME" or padding == (dilation * (k - 1)) // 2)):
+        return _depthwise_conv1d_shifts(p, x, dilation=dilation)
     if isinstance(padding, int):
         pad = [(padding, padding)]
     else:
