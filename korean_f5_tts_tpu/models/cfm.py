@@ -176,12 +176,16 @@ def _sample_core(
         # hoist ALL time-dependent modulations out of the scan: they are
         # batch-independent functions of the schedule
         mods, mod_final, _ = dit_mod.precompute_step_modulations(params, arch, ts[:-1])
+        # ... and the cond/text part of the input projection (loop-invariant)
+        static_inp = dit_mod.precompute_input_static(
+            params, arch, step_cond, text_emb_cond, text_emb_uncond)
 
         def step_premod(x, xs):
             dt, mods_s, mod_final_s = xs
             pred = dit_mod.dit_forward_cfg_premod(
                 params, arch, x, step_cond, text_emb_cond, text_emb_uncond,
                 mods_s, mod_final_s, cfg_strength, mask=mask, pad_mask=pad_mask,
+                static_inp=static_inp,
             )
             return (x + dt * pred).astype(y0.dtype), None
 

@@ -198,6 +198,38 @@ def _rope_table(seq_len: int, dim_head: int) -> tuple[np.ndarray, np.ndarray]:
     return rope_cos_sin(seq_len, dim_head)
 
 
+def precompute_input_static(p: dict, cfg: DiTConfig, cond: jax.Array,
+                            text_emb_cond: jax.Array,
+                            text_emb_uncond: jax.Array) -> jax.Array:
+    """Loop-invariant part of the CFG input projection, computed ONCE.
+
+    input_proj(concat([x, cond, text])) decomposes over the feature axis as
+    x @ Wx + (cond @ Wc + text @ Wt + b); only x changes across ODE steps, so
+    the cond/text term (612 of 712 input features) is hoisted out of the
+    sampling scan. For the uncond half the audio cond is dropped (zeros), so
+    its static term is text-only. Returns [2b, n, dim].
+    """
+    w = p["input_proj"]["w"]
+    m = cfg.mel_dim
+    wc = w[m:2 * m]
+    wt = w[2 * m:]
+    b_ = p["input_proj"]["b"]
+    dt = cond.dtype
+    top = cond @ wc.astype(dt) + text_emb_cond @ wt.astype(dt) + b_.astype(dt)
+    bottom = text_emb_uncond @ wt.astype(dt) + b_.astype(dt)
+    return jnp.concatenate([top, bottom], axis=0)
+
+
+def input_embedding_premix(p: dict, cfg: DiTConfig, x2: jax.Array,
+                           static_inp: jax.Array,
+                           audio_mask: jax.Array | None = None) -> jax.Array:
+    """Per-step half of the decomposed input embedding (scan body)."""
+    w = p["input_proj"]["w"]
+    m = cfg.mel_dim
+    h = x2 @ w[:m].astype(x2.dtype) + static_inp
+    return conv_position_embedding(p["conv_pos_embed"], h, mask=audio_mask) + h
+
+
 def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
                  mask: jax.Array | None = None,
                  dropout_key: jax.Array | None = None,
@@ -322,14 +354,24 @@ def dit_forward_cfg_premod(p: dict, cfg: DiTConfig, x: jax.Array, cond: jax.Arra
                            mods: jax.Array, mod_final: jax.Array,
                            cfg_strength: float,
                            mask: jax.Array | None = None,
-                           pad_mask: jax.Array | None = None) -> jax.Array:
-    """CFG step with precomputed modulations (sampling-scan body)."""
+                           pad_mask: jax.Array | None = None,
+                           static_inp: jax.Array | None = None) -> jax.Array:
+    """CFG step with precomputed modulations (sampling-scan body).
+
+    static_inp: loop-invariant input-projection term from
+    precompute_input_static — when given, only the x part of the input
+    projection (mel_dim of the 712 input features) runs per step.
+    """
     x2 = jnp.concatenate([x, x], axis=0)
-    cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
-    te2 = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
     mask2 = _double_mask(mask)
-    h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False,
-                        audio_mask=mask2 if mask2 is not None else pad_mask)
+    audio_mask = mask2 if mask2 is not None else pad_mask
+    if static_inp is not None:
+        h = input_embedding_premix(p, cfg, x2, static_inp, audio_mask=audio_mask)
+    else:
+        cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)
+        te2 = jnp.concatenate([text_emb_cond, text_emb_uncond], axis=0)
+        h = input_embedding(p, x2, cond2, te2, drop_audio_cond=False,
+                            audio_mask=audio_mask)
     out = dit_backbone_premod(p, cfg, h, mods, mod_final, mask=mask2,
                               pad_mask=pad_mask)
     pred, null_pred = jnp.split(out, 2, axis=0)

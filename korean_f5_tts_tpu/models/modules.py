@@ -432,15 +432,18 @@ def attention_init(key, dim: int, heads: int, dim_head: int,
 
 
 def scaled_dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                                 mask: jax.Array | None = None) -> jax.Array:
+                                 mask: jax.Array | None = None,
+                                 prefix_lens: jax.Array | None = None) -> jax.Array:
     """[b, h, n, d] SDPA with optional [b, n] key-padding mask.
 
-    Dispatches to the Pallas TPU flash kernel when profitable
-    (ops/attention.py); XLA fp32-softmax path otherwise.
+    prefix_lens: per-item valid-prefix lengths when `mask` is a prefix mask
+    (all duration/bucket masks are) — enables the Pallas prefix-flash kernel.
+    Dispatches to the Pallas TPU kernels when profitable (ops/attention.py);
+    XLA fp32-softmax path otherwise.
     """
     from korean_f5_tts_tpu.ops.attention import sdpa
 
-    return sdpa(q, k, v, mask)
+    return sdpa(q, k, v, mask, prefix_lens=prefix_lens)
 
 
 def _split_heads(x: jax.Array, heads: int) -> jax.Array:
@@ -469,7 +472,18 @@ def attention(p: dict, x: jax.Array, heads: int,
     invisible to attention logits REGARDLESS of attn_mask_enabled; being
     batch-uniform it rides the fast shared-segment splash path on TPU.
     """
-    if all("w" in p[k] and "b" in p[k] for k in ("to_q", "to_k", "to_v")):
+    if attn_mask_enabled and mask is not None:
+        attn_mask = mask
+    else:
+        attn_mask = pad_mask
+    # duration masks and bucket-tail masks are prefix masks by construction
+    # (lens_to_mask / arange < total_len), so one length per item fully
+    # describes them — the TPU prefix-flash kernels run masked attention at
+    # unmasked speed instead of falling back to materialised [n, n] logits
+    prefix_lens = attn_mask.sum(axis=-1, dtype=jnp.int32) if attn_mask is not None else None
+    fused_qkv = all("w" in p[k] and "b" in p[k] for k in ("to_q", "to_k", "to_v"))
+    qkv = None
+    if fused_qkv:
         # fuse qkv into one matmul; the weight concat is loop-invariant and
         # hoisted out of the sampling scan by XLA
         wqkv = jnp.concatenate(
@@ -479,6 +493,18 @@ def attention(p: dict, x: jax.Array, heads: int,
             [p["to_q"]["b"], p["to_k"]["b"], p["to_v"]["b"]]
         ).astype(x.dtype)
         qkv = x @ wqkv + bqkv
+        if "q_norm" not in p:
+            # TPU fused-layout kernel: rope + attention straight from the qkv
+            # matmul output — the head split/merge transposes and rope passes
+            # never materialise in HBM (ops/flash_prefix.py)
+            from korean_f5_tts_tpu.ops.attention import qkv_fused_sdpa
+
+            fused_out = qkv_fused_sdpa(qkv, heads, rope, pe_attn_head, prefix_lens)
+            if fused_out is not None:
+                out = linear(p["to_out"], fused_out)
+                if mask is not None:
+                    out = jnp.where(mask[..., None], out, 0.0)
+                return out
         inner = p["to_q"]["w"].shape[1]
         q = _split_heads(qkv[..., :inner], heads)
         k = _split_heads(qkv[..., inner: 2 * inner], heads)
@@ -494,16 +520,15 @@ def attention(p: dict, x: jax.Array, heads: int,
         cos, sin = rope
         q = apply_rope(q, cos, sin, pe_attn_head)
         k = apply_rope(k, cos, sin, pe_attn_head)
-    if attn_mask_enabled and mask is not None:
-        attn_mask = mask
-    else:
-        attn_mask = pad_mask
-    out = _merge_heads(scaled_dot_product_attention(q, k, v, attn_mask))
+    out = _merge_heads(
+        scaled_dot_product_attention(q, k, v, attn_mask, prefix_lens=prefix_lens))
     out = linear(p["to_out"], out)
     if mask is not None:
         out = jnp.where(mask[..., None], out, 0.0)
-    elif pad_mask is not None:
-        out = jnp.where(pad_mask[..., None], out, 0.0)
+    # NB: bucket-tail (pad_mask-only) rows are NOT zeroed here: they are
+    # already invisible to valid rows (prefix-masked attention keys), nothing
+    # downstream mixes positions, and the host wrapper slices them off — so
+    # the per-block [b, n, d] select would be 22 wasted HBM passes per step.
     return out
 
 

@@ -109,8 +109,14 @@ def _splash_fn(n: int, heads: int):
         block_q_dkv=None, block_kv_dkv=None, block_kv_dkv_compute=None,
         block_q_dq=None, block_kv_dq=None,
     )
-    return sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1,
-                              block_sizes=block_sizes), sk
+    # ensure_compile_time_eval: make_splash_mha builds mask-info arrays; when
+    # first called under a jit trace those become tracers captured in the
+    # cached closure, poisoning every LATER trace that hits this cache entry
+    # (UnexpectedTracerError -> silent XLA fallback). Concretise them here.
+    with jax.ensure_compile_time_eval():
+        splash = sk.make_splash_mha(mask=mask, head_shards=1, q_seq_shards=1,
+                                    block_sizes=block_sizes)
+    return splash, sk
 
 
 def _tpu_splash(q, k, v, mask):
@@ -123,42 +129,83 @@ def _tpu_splash(q, k, v, mask):
         out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
                      v.reshape(b * h, n, d))
         return out.reshape(b, h, n, d)
-    if mask.ndim == 2 and mask.shape[0] == 1:
-        # batch-uniform key-padding mask (bucket-tail padding): still fold
-        # batch into heads and hand the kernel ONE shared segment-id vector —
-        # masked bucketed sampling runs at the unmasked kernel's speed
-        splash, sk = _splash_fn(n, b * h)
-        seg = mask[0].astype(jnp.int32)
-        out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
-                     v.reshape(b * h, n, d),
-                     segment_ids=sk.SegmentIds(q=seg, kv=seg))
-        return out.reshape(b, h, n, d)
-    splash, sk = _splash_fn(n, h)
-    seg = mask.astype(jnp.int32)
-    return jax.vmap(
-        lambda a, bb, c, s: splash(a * scale, bb, c,
-                                   segment_ids=sk.SegmentIds(q=s, kv=s))
-    )(q, k, v, seg)
+    # masked cases go through the prefix-flash kernel (measured: splash's
+    # dynamic SegmentIds path runs ~300x slower than its static-mask path)
+    raise NotImplementedError("masked splash: use flash_prefix_attention")
+
+
+_fallback_warned: set = set()
+
+
+def _warn_fallback(path: str, err: Exception) -> None:
+    if path not in _fallback_warned:
+        _fallback_warned.add(path)
+        import warnings
+
+        warnings.warn(f"TPU {path} attention kernel unavailable "
+                      f"({type(err).__name__}: {err}); using XLA attention")
+
+
+def qkv_fused_sdpa(qkv: jax.Array, heads: int,
+                   rope: tuple[jax.Array, jax.Array] | None,
+                   pe_attn_head: int | None,
+                   prefix_lens: jax.Array | None) -> jax.Array | None:
+    """Try the fused-layout TPU kernel: attention (+rope) straight from the
+    [B, n, 3*heads*dh] qkv projection output, returning [B, n, heads*dh].
+
+    Returns None when the kernel doesn't apply (off-TPU, tile-unfriendly
+    shape, no rope tables) — the caller then runs the unfused path.
+    """
+    B, n, three_inner = qkv.shape
+    dh = three_inner // (3 * heads)
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not (on_tpu and splash_enabled() and rope is not None
+            and dh in (64, 128) and n % 256 == 0):
+        return None
+    from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_qkv_attention
+
+    lens = prefix_lens if prefix_lens is not None else jnp.full((1,), n, jnp.int32)
+    cos, sin = rope
+    try:
+        return flash_prefix_qkv_attention(qkv, lens, heads, cos, sin,
+                                          pe_attn_head, 256,
+                                          512 if n % 512 == 0 else 256)
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        _warn_fallback("qkv-prefix-flash", e)
+        return None
 
 
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
-         mask: jax.Array | None = None) -> jax.Array:
+         mask: jax.Array | None = None,
+         prefix_lens: jax.Array | None = None) -> jax.Array:
     """[b, h, n, d] scaled-dot-product attention with [b, n] key-padding mask.
 
-    Uses the Pallas flash kernel on TPU when shapes are tile-friendly
-    (n % 128 == 0, d >= 64); falls back to the XLA path otherwise/off-TPU.
-    Set F5_TTS_FLASH_ATTN=0 to force the XLA path.
+    prefix_lens ([b] or [1] int32): set when `mask` is a prefix mask
+    (mask[i] == arange(n) < prefix_lens[i]) — every duration/bucket mask in
+    this model is. Masked attention then runs the Pallas prefix-flash kernel
+    at unmasked speed instead of materialising [n, n] logits in the XLA path.
+    Falls back to XLA off-TPU / for tile-unfriendly shapes (warns once).
     """
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and splash_enabled() and n % 512 == 0 and d in (64, 128, 256):
-        try:
-            return _tpu_splash(q, k, v, mask)
-        except Exception:
-            pass
+    if on_tpu and splash_enabled() and d in (64, 128) and n % 256 == 0:
+        if mask is None and n % 512 == 0:
+            try:
+                return _tpu_splash(q, k, v, None)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                _warn_fallback("splash", e)
+        elif prefix_lens is not None:
+            from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
+
+            try:
+                bkv = 512 if n % 512 == 0 else 256
+                return flash_prefix_attention(q, k, v, prefix_lens,
+                                              bq=256, bkv=bkv)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                _warn_fallback("prefix-flash", e)
     if on_tpu and flash_enabled() and n % 128 == 0 and d in (64, 128, 256):
         try:
             return _tpu_flash(q, k, v, mask)
-        except Exception:
-            pass
+        except Exception as e:  # pragma: no cover - hardware-dependent
+            _warn_fallback("flash", e)
     return _xla_sdpa(q, k, v, mask)

@@ -35,25 +35,7 @@ def bench(fn, args, iters=20, name=""):
 
 if __name__ == "__main__":
     rng = np.random.default_rng(0)
-    # 1) splash masked-path numerics: folded shared-segment vs XLA reference
-    from korean_f5_tts_tpu.ops.attention import _tpu_splash, _xla_sdpa
-
-    b, h, n, d = 2, 16, 1536, 64
-    q = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32)).astype(DT)
-    k = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32)).astype(DT)
-    v = jnp.asarray(rng.standard_normal((b, h, n, d)).astype(np.float32)).astype(DT)
-    mask = jnp.asarray(np.arange(n)[None, :] < 1376)
-
-    a = jax.jit(_tpu_splash)(q, k, v, mask)
-    bref = jax.jit(_xla_sdpa)(q, k, v, mask)
-    diff = float(jnp.abs(a.astype(jnp.float32) - bref.astype(jnp.float32))[
-        :, :, :1376, :].max())
-    print(json.dumps({"name": "splash_sharedseg_vs_xla_maxdiff", "val": diff}),
-          flush=True)
-    bench(_tpu_splash, (q, k, v, mask), name="splash_folded_masked_1layer")
-    bench(_tpu_splash, (q, k, v, None), name="splash_folded_unmasked_1layer")
-
-    # 2) vocoder with depthwise-as-shifts
+    # 1) vocoder with depthwise-as-shifts
     from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
 
     vcfg = VocosConfig()

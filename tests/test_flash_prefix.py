@@ -1,0 +1,148 @@
+"""Prefix-flash Pallas kernel vs the XLA reference formulation (interpret
+mode on CPU; the same kernel code runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from korean_f5_tts_tpu.ops import flash_prefix as fp
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    old = fp._INTERPRET
+    fp._INTERPRET = True
+    yield
+    fp._INTERPRET = old
+
+
+def _rand(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("lens", [[100, 256], [256, 256], [40, 150]])
+def test_matches_xla_reference(lens):
+    b, h, n, d = 2, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 1), _rand((b, h, n, d), 2), _rand((b, h, n, d), 3)
+    kv_lens = jnp.asarray(lens, jnp.int32)
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, bq=128, bkv=128)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    # compare only valid query rows; rows past the prefix are zeroed by callers
+    for i, L in enumerate(lens):
+        np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                   np.asarray(want)[i, :, :L],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_broadcast_single_len():
+    b, h, n, d = 3, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 4), _rand((b, h, n, d), 5), _rand((b, h, n, d), 6)
+    kv_lens = jnp.asarray([190], jnp.int32)  # [1] broadcasts over the batch
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, bq=128, bkv=128)
+    want = fp._xla_prefix_attention(q, k, v, jnp.full((b,), 190, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got)[:, :, :190],
+                               np.asarray(want)[:, :, :190], rtol=2e-5, atol=2e-5)
+
+
+def test_short_prefix_prunes_blocks():
+    # kv_len < bkv: later KV blocks are skipped entirely; result still exact
+    b, h, n, d = 1, 2, 512, 64
+    q, k, v = _rand((b, h, n, d), 7), _rand((b, h, n, d), 8), _rand((b, h, n, d), 9)
+    kv_lens = jnp.asarray([77], jnp.int32)
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, bq=128, bkv=128)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    np.testing.assert_allclose(np.asarray(got)[:, :, :77],
+                               np.asarray(want)[:, :, :77], rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_inputs():
+    b, h, n, d = 2, 2, 256, 64
+    q = _rand((b, h, n, d), 10).astype(jnp.bfloat16)
+    k = _rand((b, h, n, d), 11).astype(jnp.bfloat16)
+    v = _rand((b, h, n, d), 12).astype(jnp.bfloat16)
+    kv_lens = jnp.asarray([200, 130], jnp.int32)
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, bq=128, bkv=128)
+    want = fp._xla_prefix_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                                    v.astype(jnp.float32), kv_lens)
+    for i, L in enumerate([200, 130]):
+        np.testing.assert_allclose(np.asarray(got.astype(jnp.float32))[i, :, :L],
+                                   np.asarray(want)[i, :, :L], rtol=0.02, atol=0.02)
+
+
+@pytest.mark.parametrize("pe_attn_head", [None, 1])
+def test_qkv_fused_matches_reference(pe_attn_head):
+    # fused-layout kernel: strided qkv views + in-register rope
+    from korean_f5_tts_tpu.models.modules import rope_cos_sin
+
+    b, heads, n, dh = 2, 2, 256, 64
+    qkv = _rand((b, n, 3 * heads * dh), 20)
+    cos, sin = rope_cos_sin(n, dh)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    kv_lens = jnp.asarray([200, 256], jnp.int32)
+    got = fp.flash_prefix_qkv_attention(qkv, kv_lens, heads, cos, sin,
+                                        pe_attn_head, 128, 128)
+    want = fp._xla_qkv_reference(qkv, kv_lens, heads, cos, sin, pe_attn_head)
+    for i, L in enumerate([200, 256]):
+        np.testing.assert_allclose(np.asarray(got)[i, :L],
+                                   np.asarray(want)[i, :L], rtol=2e-5, atol=2e-5)
+
+
+def test_qkv_fused_unmasked_full_len():
+    from korean_f5_tts_tpu.models.modules import rope_cos_sin
+
+    b, heads, n, dh = 1, 4, 256, 64
+    qkv = _rand((b, n, 3 * heads * dh), 21)
+    cos, sin = rope_cos_sin(n, dh)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    kv_lens = jnp.asarray([n], jnp.int32)
+    got = fp.flash_prefix_qkv_attention(qkv, kv_lens, heads, cos, sin,
+                                        None, 128, 128)
+    want = fp._xla_qkv_reference(qkv, kv_lens, heads, cos, sin, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_qkv_fused_grad():
+    from korean_f5_tts_tpu.models.modules import rope_cos_sin
+
+    b, heads, n, dh = 1, 2, 256, 64
+    qkv = _rand((b, n, 3 * heads * dh), 22)
+    cos, sin = rope_cos_sin(n, dh)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    kv_lens = jnp.asarray([256], jnp.int32)
+    w = _rand((b, n, heads * dh), 23)
+
+    def loss_kernel(a):
+        return jnp.sum(fp.flash_prefix_qkv_attention(a, kv_lens, heads, cos,
+                                                     sin, None, 128, 128) * w)
+
+    def loss_ref(a):
+        return jnp.sum(fp._xla_qkv_reference(a, kv_lens, heads, cos, sin, None) * w)
+
+    gk = jax.grad(loss_kernel)(qkv)
+    gr = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-5, atol=2e-5)
+
+
+def test_grad_matches_xla():
+    # training path: custom_vjp backward == differentiating the XLA reference
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 13), _rand((b, h, n, d), 14), _rand((b, h, n, d), 15)
+    kv_lens = jnp.asarray([180], jnp.int32)
+    w = _rand((b, h, n, d), 16)
+
+    def loss_kernel(q, k, v):
+        out = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128)
+        return jnp.sum(out[:, :, :180] * w[:, :, :180])
+
+    def loss_ref(q, k, v):
+        out = fp._xla_prefix_attention(q, k, v, kv_lens)
+        return jnp.sum(out[:, :, :180] * w[:, :, :180])
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5)
