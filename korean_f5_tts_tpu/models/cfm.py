@@ -29,12 +29,17 @@ from korean_f5_tts_tpu.utils.misc import lens_to_mask, mask_from_frac_lengths
 from korean_f5_tts_tpu.utils.timesteps import make_schedule
 
 def _default_duration_bucket() -> int:
-    """512-frame buckets on TPU (tuned splash attention needs n % 512 == 0;
-    the padding is masked out and splash skips ~nothing since kv spans the
-    padded tail anyway); 128 elsewhere."""
-    import jax as _jax
+    """128-frame duration buckets (F5_TTS_DURATION_BUCKET overrides).
 
-    return 512 if _jax.default_backend() not in ("cpu", "gpu") else 128
+    The prefix-flash kernels (ops/flash_prefix.py) handle any n % 128 == 0,
+    so buckets no longer need the 512 granularity of the tuned splash
+    config — finer buckets cut bucket-tail padding (up to 25% of frames at
+    512) from every matmul/attention/elementwise pass. Each distinct bucket
+    is a separate jit shape: raise this (e.g. 512) if compile count matters
+    more than per-request latency on your serving mix."""
+    import os as _os
+
+    return int(_os.environ.get("F5_TTS_DURATION_BUCKET", "128"))
 
 
 DEFAULT_DURATION_BUCKET = 128  # frames; pad max_duration up to a multiple (CPU)

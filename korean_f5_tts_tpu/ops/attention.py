@@ -146,6 +146,14 @@ def _warn_fallback(path: str, err: Exception) -> None:
                       f"({type(err).__name__}: {err}); using XLA attention")
 
 
+def _block(n: int, pref: int) -> int:
+    """Largest power-of-two block <= pref that divides n (n % 128 == 0)."""
+    b = pref
+    while n % b != 0:
+        b //= 2
+    return b
+
+
 def qkv_fused_sdpa(qkv: jax.Array, heads: int,
                    rope: tuple[jax.Array, jax.Array] | None,
                    pe_attn_head: int | None,
@@ -160,7 +168,7 @@ def qkv_fused_sdpa(qkv: jax.Array, heads: int,
     dh = three_inner // (3 * heads)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not (on_tpu and splash_enabled() and rope is not None
-            and dh in (64, 128) and n % 256 == 0):
+            and dh == 64 and heads % 2 == 0 and n % 128 == 0):
         return None
     from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_qkv_attention
 
@@ -168,8 +176,7 @@ def qkv_fused_sdpa(qkv: jax.Array, heads: int,
     cos, sin = rope
     try:
         return flash_prefix_qkv_attention(qkv, lens, heads, cos, sin,
-                                          pe_attn_head, 256,
-                                          512 if n % 512 == 0 else 256)
+                                          pe_attn_head, _block(n, 256), 512)
     except Exception as e:  # pragma: no cover - hardware-dependent
         _warn_fallback("qkv-prefix-flash", e)
         return None
@@ -188,7 +195,7 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     """
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and splash_enabled() and d in (64, 128) and n % 256 == 0:
+    if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
         if mask is None and n % 512 == 0:
             try:
                 return _tpu_splash(q, k, v, None)
@@ -198,9 +205,8 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
             from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
 
             try:
-                bkv = 512 if n % 512 == 0 else 256
                 return flash_prefix_attention(q, k, v, prefix_lens,
-                                              bq=256, bkv=bkv)
+                                              bq=_block(n, 256), bkv=512)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("prefix-flash", e)
     if on_tpu and flash_enabled() and n % 128 == 0 and d in (64, 128, 256):

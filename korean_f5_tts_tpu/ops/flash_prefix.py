@@ -44,48 +44,75 @@ MASK_VALUE = -1e37
 _INTERPRET = False  # tests flip this to run the kernels on CPU (interpret mode)
 
 
-def _online_softmax_loop(q, k_ref, v_ref, kvlen, sm_scale, ck):
-    """Shared inner loop: chunked online softmax over the KV prefix.
+LOG2E = 1.4426950408889634  # softmax via exp2: exp(x) == exp2(x * log2 e);
+# the factor folds into sm_scale, so max/subtract run in the scaled domain
+# and the p/l ratio is unchanged. exp2 maps directly onto the VPU's
+# base-2 transcendental (exp lowers to exp2 + an extra multiply per element,
+# and at n^2 logits per layer the multiply is measurable).
 
-    q: [bq, dh] (already roped/scaled as needed); k_ref/v_ref: refs holding
-    [n, dh] for this head in VMEM. Returns the normalised [bq, dh] output.
+
+def _chunk_plan(n: int, pref: int) -> list[tuple[int, int]]:
+    """Static (start, size) chunks covering n; sizes are LANES-multiples."""
+    chunks, start = [], 0
+    while start < n:
+        size = min(pref, n - start)
+        assert size % LANES == 0, (n, pref)
+        chunks.append((start, size))
+        start += size
+    return chunks
+
+
+def _softmax_over_chunks(q, k_read, v_read, kvlen, sm_scale,
+                         chunks, m_scr, l_scr, acc_scr):
+    """Online softmax over the KV prefix, statically unrolled.
+
+    The chunk loop is a python unroll of predicated (@pl.when) blocks — a
+    dynamic-trip fori_loop defeats Mosaic's software pipelining of the two
+    dots (measured ~30% slower), while predicated-off chunks beyond the
+    prefix skip in a few cycles. State lives in VMEM scratch (register
+    carries cannot cross pl.when).
     """
-    bq, dh = q.shape
-    init = (
-        jnp.full((bq, LANES), MASK_VALUE, jnp.float32),
-        jnp.zeros((bq, LANES), jnp.float32),
-        jnp.zeros((bq, dh), jnp.float32),
-    )
-    nb = (kvlen + ck - 1) // ck  # dynamic trip count: padded chunks skipped
+    dh = q.shape[-1]
+    scale2 = sm_scale * LOG2E
+    m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
-    def body(c, carry):
-        m_prev, l_prev, acc = carry
-        start = pl.multiple_of(c * ck, ck)
-        k = k_ref[0, pl.ds(start, ck), :]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [bq, ck]
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-        s = jnp.where(col < kvlen, s, MASK_VALUE)
-        m_curr = jnp.max(s, axis=1)[:, None]          # [bq, 1]
-        m_next = jnp.maximum(m_prev, m_curr)          # [bq, LANES]
-        p = jnp.exp(s - jnp.tile(m_next, (1, ck // LANES)))
-        alpha = jnp.exp(m_prev - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        v = v_ref[0, pl.ds(start, ck), :]
-        acc = acc * alpha[:, :dh] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_next, l_next, acc
+    for start, size in chunks:
+        @pl.when(start < kvlen)
+        def _chunk(start=start, size=size):
+            k = k_read(start, size)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale2  # base-2 domain
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+            s = jnp.where(col < kvlen, s, MASK_VALUE)
+            m_prev = m_scr[...]                           # [bq, LANES]
+            l_prev = l_scr[...]
+            m_curr = jnp.max(s, axis=1)[:, None]          # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_curr)          # [bq, LANES]
+            p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
+            alpha = jnp.exp2(m_prev - m_next)
+            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scr[...] = m_next
+            v = v_read(start, size)
+            acc_scr[...] = acc_scr[...] * alpha[:, :dh] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
-    _, l, acc = jax.lax.fori_loop(0, nb, body, init)
-    l = l[:, :dh]
-    return acc * jnp.where(l == 0.0, 1.0, 1.0 / l)
+    l = l_scr[...][:, :dh]
+    return acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)
 
 
-def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale: float, ck: int):
+def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+            *, sm_scale: float, ck: int):
     h = pl.program_id(0)
     kvlen = kvlen_ref[h]
-    out = _online_softmax_loop(q_ref[0], k_ref, v_ref, kvlen, sm_scale, ck)
+    n = k_ref.shape[1]
+    out = _softmax_over_chunks(
+        q_ref[0],
+        lambda s, z: k_ref[0, pl.ds(s, z), :],
+        lambda s, z: v_ref[0, pl.ds(s, z), :],
+        kvlen, sm_scale, _chunk_plan(n, ck), m_scr, l_scr, acc_scr)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -94,7 +121,7 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
                          bq: int = 256, ck: int = 512):
     """q, k, v: [H, n, d] (batch already folded into heads); kv_lens: [H]."""
     H, n, d = q.shape
-    assert n % bq == 0 and n % ck == 0 and ck % LANES == 0, (n, bq, ck)
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
     assert d <= LANES, "head_dim > 128 needs lane tiling in the kernel"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -106,6 +133,11 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
             pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
     )
     kernel = functools.partial(_kernel, sm_scale=sm_scale, ck=ck)
     return pl.pallas_call(
@@ -181,99 +213,101 @@ flash_prefix_attention.defvjp(_fp_fwd, _fp_bwd)
 
 def _kernel_qkv(lens_ref, ropemask_ref, q_ref, k_ref, v_ref,
                 csq_ref, snq_ref, csk_ref, snk_ref, o_ref,
-                kr_scr, *, sm_scale: float, ck: int, heads: int):
-    """q/k/v tiles are strided views into the ONE [B, n, 3*h*dh] fused-qkv
-    matmul output (no split/merge transposes ever materialise in HBM), with
-    half-split rope applied in-register.
+                kr_scr, ma_scr, la_scr, aa_scr, mb_scr, lb_scr, ab_scr,
+                *, sm_scale: float, ck: int, hp: int, dh: int):
+    """Head-PAIR fused-layout kernel: each grid step handles two adjacent
+    heads so every HBM block is 128 lanes wide (Mosaic requires the last
+    block dim to be 128 or the full array dim — a single dh=64 head-view
+    into the [B, n, 3*h*dh] qkv array is not expressible).
 
-    rope identity: out = x * cs + swap_halves(x) * sn where cs = [cos||cos],
-    sn = [-sin||sin] — swap_halves is a lane roll by dh/2. K is roped once
-    into VMEM scratch at the first q block of each head.
+    q/k/v tiles are strided views into the ONE fused-qkv matmul output (no
+    split/merge transposes ever materialise in HBM). Half-split rope is
+    applied in-register: out = x * cs + swap(x) * sn with cs = [cos||cos],
+    sn = [-sin||sin] per head; swap (exchange dh/2 halves within each head)
+    rides the MXU as a dot with an iota-built block-diagonal permutation
+    (pltpu.roll on sub-lane slices crashes Mosaic; this formulation is
+    probe-verified). K is roped once per head-pair into VMEM scratch.
     """
-    g = pl.program_id(0)   # folded (batch, head)
+    g = pl.program_id(0)   # folded (batch, head-pair)
     i = pl.program_id(1)
-    kvlen = lens_ref[g]
-    rope_on = ropemask_ref[g % heads]
+    pair = g % hp
+    kvlen = lens_ref[g // hp]
+    rm_a = ropemask_ref[2 * pair]
+    rm_b = ropemask_ref[2 * pair + 1]
+    W = 2 * dh
 
-    def _rope(x, cs, sn):
-        d = x.shape[-1]
-        rot = pltpu.roll(x, d // 2, 1)
-        return jnp.where(rope_on > 0, x * cs + rot * sn, x)
+    def _pair_rope(x, cs, sn):
+        rows = x.shape[0]
+        r = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (W, W), 1)
+        perm = ((r // dh == c // dh)
+                & ((r % dh + dh // 2) % dh == c % dh)).astype(x.dtype)
+        swapped = jax.lax.dot(
+            x, perm, preferred_element_type=jnp.float32).astype(x.dtype)
+        roped = x * cs + swapped * sn
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, W), 1)
+        gate = jnp.where(lane < dh, rm_a, rm_b)  # per-half pe_attn_head gating
+        return jnp.where(gate > 0, roped, x)
 
     @pl.when(i == 0)
     def _rope_k_once():
-        kr_scr[...] = _rope(k_ref[0], csk_ref[...], snk_ref[...])
+        kr_scr[...] = _pair_rope(k_ref[0], csk_ref[...], snk_ref[...])
 
-    q = _rope(q_ref[0], csq_ref[...], snq_ref[...])
+    qp = _pair_rope(q_ref[0], csq_ref[...], snq_ref[...])
+    qa, qb = qp[:, :dh], qp[:, dh:]
+    n = k_ref.shape[1]
+    chunks = _chunk_plan(n, ck)
 
-    def k_read(start, size):
-        return kr_scr[pl.ds(start, size), :]
-
-    def v_read(start, size):
-        return v_ref[0, pl.ds(start, size), :]
-
-    bq, dh = q.shape
-    init = (
-        jnp.full((bq, LANES), MASK_VALUE, jnp.float32),
-        jnp.zeros((bq, LANES), jnp.float32),
-        jnp.zeros((bq, dh), jnp.float32),
-    )
-    nb = (kvlen + ck - 1) // ck
-
-    def body(c, carry):
-        m_prev, l_prev, acc = carry
-        start = pl.multiple_of(c * ck, ck)
-        k = k_read(start, ck)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-        s = jnp.where(col < kvlen, s, MASK_VALUE)
-        m_curr = jnp.max(s, axis=1)[:, None]
-        m_next = jnp.maximum(m_prev, m_curr)
-        p = jnp.exp(s - jnp.tile(m_next, (1, ck // LANES)))
-        alpha = jnp.exp(m_prev - m_next)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        v = v_read(start, ck)
-        acc = acc * alpha[:, :dh] + jax.lax.dot(
-            p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        return m_next, l_next, acc
-
-    _, l, acc = jax.lax.fori_loop(0, nb, body, init)
-    l = l[:, :dh]
-    out = acc * jnp.where(l == 0.0, 1.0, 1.0 / l)
+    out_a = _softmax_over_chunks(
+        qa,
+        lambda s, z: kr_scr[pl.ds(s, z), :dh],
+        lambda s, z: v_ref[0, pl.ds(s, z), :dh],
+        kvlen, sm_scale, chunks, ma_scr, la_scr, aa_scr)
+    out_b = _softmax_over_chunks(
+        qb,
+        lambda s, z: kr_scr[pl.ds(s, z), dh:],
+        lambda s, z: v_ref[0, pl.ds(s, z), dh:],
+        kvlen, sm_scale, chunks, mb_scr, lb_scr, ab_scr)
+    out = jnp.concatenate([out_a, out_b], axis=1)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("heads", "sm_scale", "bq", "ck"))
-def _flash_prefix_qkv_call(qkv, lens_g, ropemask, cs, sn, heads: int,
+def _flash_prefix_qkv_call(qkv, lens_b, ropemask, cs, sn, heads: int,
                            sm_scale: float, bq: int, ck: int):
     B, n, three_inner = qkv.shape
     dh = three_inner // (3 * heads)
-    assert n % bq == 0 and n % ck == 0 and ck % LANES == 0, (n, bq, ck)
-    assert dh <= LANES and dh % 2 == 0, dh
-    G = B * heads
-    h_ = heads
+    assert n % bq == 0 and n % LANES == 0 and ck % LANES == 0, (n, bq, ck)
+    assert 2 * dh == LANES and heads % 2 == 0, (dh, heads)
+    hp = heads // 2
+    G = B * hp
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(G, n // bq),
         in_specs=[
-            # strided head-views into the one fused qkv array
-            pl.BlockSpec((1, bq, dh), lambda g, i, *_: (g // h_, i, g % h_)),
-            pl.BlockSpec((1, n, dh), lambda g, i, *_: (g // h_, 0, h_ + g % h_)),
-            pl.BlockSpec((1, n, dh), lambda g, i, *_: (g // h_, 0, 2 * h_ + g % h_)),
-            pl.BlockSpec((bq, dh), lambda g, i, *_: (i, 0)),  # cs for q rows
-            pl.BlockSpec((bq, dh), lambda g, i, *_: (i, 0)),  # sn for q rows
-            pl.BlockSpec((n, dh), lambda g, i, *_: (0, 0)),   # cs, all rows (K)
-            pl.BlockSpec((n, dh), lambda g, i, *_: (0, 0)),   # sn, all rows (K)
+            # strided head-pair views into the one fused qkv array
+            pl.BlockSpec((1, bq, LANES), lambda g, i, *_: (g // hp, i, g % hp)),
+            pl.BlockSpec((1, n, LANES), lambda g, i, *_: (g // hp, 0, hp + g % hp)),
+            pl.BlockSpec((1, n, LANES), lambda g, i, *_: (g // hp, 0, 2 * hp + g % hp)),
+            pl.BlockSpec((bq, LANES), lambda g, i, *_: (i, 0)),  # cs, q rows
+            pl.BlockSpec((bq, LANES), lambda g, i, *_: (i, 0)),  # sn, q rows
+            pl.BlockSpec((n, LANES), lambda g, i, *_: (0, 0)),   # cs, all rows (K)
+            pl.BlockSpec((n, LANES), lambda g, i, *_: (0, 0)),   # sn, all rows (K)
         ],
-        out_specs=pl.BlockSpec((1, bq, dh), lambda g, i, *_: (g // h_, i, g % h_)),
+        out_specs=pl.BlockSpec((1, bq, LANES), lambda g, i, *_: (g // hp, i, g % hp)),
         scratch_shapes=[
-            pltpu.VMEM((n, dh), qkv.dtype),  # roped K, computed once per head
+            pltpu.VMEM((n, LANES), qkv.dtype),  # roped K pair, once per pair
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, dh), jnp.float32),
         ],
     )
-    kernel = functools.partial(_kernel_qkv, sm_scale=sm_scale, ck=ck, heads=heads)
+    kernel = functools.partial(_kernel_qkv, sm_scale=sm_scale, ck=ck,
+                               hp=hp, dh=dh)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -282,7 +316,7 @@ def _flash_prefix_qkv_call(qkv, lens_g, ropemask, cs, sn, heads: int,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_INTERPRET,
-    )(lens_g, ropemask, qkv, qkv, qkv, cs, sn, cs, sn)
+    )(lens_b, ropemask, qkv, qkv, qkv, cs, sn, cs, sn)
 
 
 def _qkv_unpack(qkv, heads):
@@ -333,12 +367,13 @@ def flash_prefix_qkv_attention(qkv: jax.Array, kv_lens: jax.Array, heads: int,
     lens = kv_lens.astype(jnp.int32)
     if lens.shape[0] == 1 and B > 1:
         lens = jnp.broadcast_to(lens, (B,))
-    lens_g = jnp.repeat(lens, heads)
     n_rope = heads if pe_attn_head is None else pe_attn_head
     ropemask = (jnp.arange(heads) < n_rope).astype(jnp.int32)
-    cs = jnp.concatenate([cos[:n], cos[:n]], axis=-1).astype(qkv.dtype)
-    sn = jnp.concatenate([-sin[:n], sin[:n]], axis=-1).astype(qkv.dtype)
-    return _flash_prefix_qkv_call(qkv, lens_g, ropemask, cs, sn, heads,
+    cs1 = jnp.concatenate([cos[:n], cos[:n]], axis=-1)          # [n, dh]
+    sn1 = jnp.concatenate([-sin[:n], sin[:n]], axis=-1)
+    cs = jnp.tile(cs1, (1, 2)).astype(qkv.dtype)                # [n, 2*dh] pair
+    sn = jnp.tile(sn1, (1, 2)).astype(qkv.dtype)
+    return _flash_prefix_qkv_call(qkv, lens, ropemask, cs, sn, heads,
                                   sm_scale, bq, bkv)
 
 

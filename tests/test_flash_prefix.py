@@ -58,6 +58,34 @@ def test_short_prefix_prunes_blocks():
                                np.asarray(want)[:, :, :77], rtol=2e-5, atol=2e-5)
 
 
+def test_nondividing_chunk_plan():
+    # n = 384 with bkv=256 -> static chunks [256, 128]; n%512 != 0 shapes
+    # (128-frame duration buckets) must still be exact
+    b, h, n, d = 2, 2, 384, 64
+    q, k, v = _rand((b, h, n, d), 30), _rand((b, h, n, d), 31), _rand((b, h, n, d), 32)
+    kv_lens = jnp.asarray([300, 384], jnp.int32)
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, bq=128, bkv=256)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    for i, L in enumerate([300, 384]):
+        np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                   np.asarray(want)[i, :, :L], rtol=2e-5, atol=2e-5)
+
+
+def test_qkv_nondividing_chunk_plan():
+    from korean_f5_tts_tpu.models.modules import rope_cos_sin
+
+    b, heads, n, dh = 1, 2, 384, 64
+    qkv = _rand((b, n, 3 * heads * dh), 33)
+    cos, sin = rope_cos_sin(n, dh)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    kv_lens = jnp.asarray([311], jnp.int32)
+    got = fp.flash_prefix_qkv_attention(qkv, kv_lens, heads, cos, sin,
+                                        None, 128, 256)
+    want = fp._xla_qkv_reference(qkv, kv_lens, heads, cos, sin, None)
+    np.testing.assert_allclose(np.asarray(got)[:, :311],
+                               np.asarray(want)[:, :311], rtol=2e-5, atol=2e-5)
+
+
 def test_bf16_inputs():
     b, h, n, d = 2, 2, 256, 64
     q = _rand((b, h, n, d), 10).astype(jnp.bfloat16)
