@@ -55,8 +55,8 @@ def main():
     # 10 s of generated audio conditioned on ~4.6 s of prompt (typical CLI use)
     hop, sr = 256, 24_000
     cond_len, total_len = 432, 1376  # frames; total padded by sampler bucket
-    # 128-frame bucket (prefix-flash kernels take any n%128); override for A/B
-    n_bucket = int(os.environ.get("F5_TTS_BENCH_BUCKET", "1408"))
+    # 512-frame bucket (shared-segment splash, best measured); A/B override
+    n_bucket = int(os.environ.get("F5_TTS_BENCH_BUCKET", "1536"))
     rng = np.random.default_rng(0)
 
     cond = jnp.asarray(rng.standard_normal((1, n_bucket, 100)).astype(np.float32)).astype(compute_dtype)

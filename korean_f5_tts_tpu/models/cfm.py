@@ -29,17 +29,22 @@ from korean_f5_tts_tpu.utils.misc import lens_to_mask, mask_from_frac_lengths
 from korean_f5_tts_tpu.utils.timesteps import make_schedule
 
 def _default_duration_bucket() -> int:
-    """128-frame duration buckets (F5_TTS_DURATION_BUCKET overrides).
+    """512-frame duration buckets on TPU (F5_TTS_DURATION_BUCKET overrides).
 
-    The prefix-flash kernels (ops/flash_prefix.py) handle any n % 128 == 0,
-    so buckets no longer need the 512 granularity of the tuned splash
-    config — finer buckets cut bucket-tail padding (up to 25% of frames at
-    512) from every matmul/attention/elementwise pass. Each distinct bucket
-    is a separate jit shape: raise this (e.g. 512) if compile count matters
-    more than per-request latency on your serving mix."""
+    In-model A/B on v5e (BUCKET x attention backend, 16 NFE headline): the
+    shared-segment splash path at n=1536 (RTF 0.0235) beats every finer-
+    bucket config — n=1408 pays XLA-masked attention (0.0256) or the
+    prefix-flash kernel at bq=128 (0.0310), losing more than the 8% padding
+    saves. Finer buckets only pay off once a masked kernel matches splash at
+    n % 512 != 0; until then 512 on TPU, 128 on CPU (XLA path scales fine)."""
     import os as _os
 
-    return int(_os.environ.get("F5_TTS_DURATION_BUCKET", "128"))
+    env = _os.environ.get("F5_TTS_DURATION_BUCKET")
+    if env:
+        return int(env)
+    import jax as _jax
+
+    return 512 if _jax.default_backend() not in ("cpu", "gpu") else 128
 
 
 DEFAULT_DURATION_BUCKET = 128  # frames; pad max_duration up to a multiple (CPU)

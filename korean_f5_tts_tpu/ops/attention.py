@@ -129,9 +129,21 @@ def _tpu_splash(q, k, v, mask):
         out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
                      v.reshape(b * h, n, d))
         return out.reshape(b, h, n, d)
-    # masked cases go through the prefix-flash kernel (measured: splash's
-    # dynamic SegmentIds path runs ~300x slower than its static-mask path)
-    raise NotImplementedError("masked splash: use flash_prefix_attention")
+    if mask.ndim == 2 and mask.shape[0] == 1:
+        # batch-uniform key-padding mask (bucket-tail padding): fold batch
+        # into heads and hand the kernel ONE shared segment-id vector —
+        # in-model this runs at ~the unmasked kernel's speed (best measured
+        # masked config on v5e; single-call timings are swamped by the ~30 ms
+        # relay roundtrip, so only in-model A/B numbers count)
+        splash, sk = _splash_fn(n, b * h)
+        seg = mask[0].astype(jnp.int32)
+        out = splash(q.reshape(b * h, n, d) * scale, k.reshape(b * h, n, d),
+                     v.reshape(b * h, n, d),
+                     segment_ids=sk.SegmentIds(q=seg, kv=seg))
+        return out.reshape(b, h, n, d)
+    # per-item masks go through the prefix-flash kernel (vmapping splash
+    # serialises the batch)
+    raise NotImplementedError("per-item masked splash: use flash_prefix_attention")
 
 
 _fallback_warned: set = set()
@@ -164,9 +176,16 @@ def qkv_fused_sdpa(qkv: jax.Array, heads: int,
     Returns None when the kernel doesn't apply (off-TPU, tile-unfriendly
     shape, no rope tables) — the caller then runs the unfused path.
     """
+    import os
+
     B, n, three_inner = qkv.shape
     dh = three_inner // (3 * heads)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    # opt-in: in-model A/B on v5e measured the strided head-pair DMA pattern
+    # slower than shared-segment splash + XLA transposes (0.0253 vs 0.0236
+    # RTF @ n=1536); keep the kernel available for shapes/chips where it wins
+    if os.environ.get("F5_TTS_QKV_KERNEL", "0") == "0":
+        return None
     if not (on_tpu and splash_enabled() and rope is not None
             and dh == 64 and heads % 2 == 0 and n % 128 == 0):
         return None
@@ -196,17 +215,22 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
-        if mask is None and n % 512 == 0:
+        if (mask is None or (mask.ndim == 2 and mask.shape[0] == 1)) and n % 512 == 0:
+            # unmasked or batch-uniform prefix mask: shared-segment splash
+            # (best measured masked config in-model on v5e)
             try:
-                return _tpu_splash(q, k, v, None)
+                return _tpu_splash(q, k, v, mask)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("splash", e)
-        elif prefix_lens is not None:
+        if prefix_lens is not None and n % 256 == 0:
+            # per-item prefix masks (serving batches): prefix-flash kernel.
+            # bq=128 shapes (n % 256 != 0) measured slower than XLA in-model
+            # -> fall through to the XLA path there.
             from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
 
             try:
                 return flash_prefix_attention(q, k, v, prefix_lens,
-                                              bq=_block(n, 256), bkv=512)
+                                              bq=256, bkv=512)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("prefix-flash", e)
     if on_tpu and flash_enabled() and n % 128 == 0 and d in (64, 128, 256):

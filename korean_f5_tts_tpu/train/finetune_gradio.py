@@ -136,6 +136,264 @@ def system_stats() -> dict:
     return stats
 
 
+# ---------------------------------------------------------------------------
+# settings persistence (finetune_gradio.py:61-173)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SETTINGS = {
+    "exp_name": "F5TTS_v1_Base",
+    "learning_rate": 1e-5,
+    "batch_size_per_gpu": 9600,       # frames/chip: measured v5e 16 GB budget
+    "batch_size_type": "frame",
+    "max_samples": 64,
+    "grad_accumulation_steps": 1,
+    "max_grad_norm": 1.0,
+    "epochs": 100,
+    "num_warmup_updates": 100,
+    "save_per_updates": 500,
+    "keep_last_n_checkpoints": -1,
+    "last_per_updates": 100,
+    "finetune": True,
+    "file_checkpoint_train": "",
+    "tokenizer_type": "kor_grapheme",
+    "tokenizer_file": "",
+    "mixed_precision": "bf16",        # TPU-native; reference defaults fp16
+    "logger": "tensorboard",
+}
+
+
+def _settings_path(project_name: str, ckpt_root: str = "ckpts") -> str:
+    base = project_name.replace("_pinyin", "").replace("_char", "")
+    return os.path.join(ckpt_root, base, "setting.json")
+
+
+def save_settings(project_name: str, settings: dict, ckpt_root: str = "ckpts") -> str:
+    """Persist per-project training settings (finetune_gradio.py:61-110)."""
+    path = _settings_path(project_name, ckpt_root)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    merged = {**DEFAULT_SETTINGS, **settings}
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(merged, f, indent=4)
+    return "Settings saved!"
+
+
+def load_settings(project_name: str, ckpt_root: str = "ckpts") -> dict:
+    """Defaults overlaid with the project's setting.json (:114-173)."""
+    settings = dict(DEFAULT_SETTINGS)
+    path = _settings_path(project_name, ckpt_root)
+    if os.path.isfile(path):
+        with open(path, encoding="utf-8") as f:
+            settings.update(json.load(f))
+    return settings
+
+
+def format_seconds_to_hms(seconds: float) -> str:
+    h, rem = divmod(int(seconds), 3600)
+    m, s = divmod(rem, 60)
+    return f"{h:02d}:{m:02d}:{s:02d}"
+
+
+# ---------------------------------------------------------------------------
+# training-parameter suggestion (finetune_gradio.py:843-929)
+# ---------------------------------------------------------------------------
+
+HOP_LENGTH = 256
+SAMPLING_RATE = 24_000
+# measured on v5e-16GB: 9,600 frames/chip trains with per-block remat
+FRAMES_PER_16GB_CHIP = 9_600
+MAX_UPDATES = 1_200_000
+
+
+def calculate_train(
+    project_dir: str,
+    batch_size_type: str = "frame",
+    max_samples: int = 64,
+    num_warmup_updates: int = 100,
+    finetune: bool = True,
+    hbm_gb_per_chip: float = 16.0,
+    n_chips: int = 1,
+) -> dict:
+    """Suggest epochs/lr/batch from the project's duration.json (:843-929).
+
+    The reference sizes the frame batch from CUDA memory (38400*(mem-5)/75);
+    here it scales the measured v5e 16 GB budget by HBM per chip. Epochs are
+    capped at 1.2M total updates, warmup floors at 5% of samples.
+    """
+    file_duration = os.path.join(project_dir, "duration.json")
+    if not os.path.isfile(file_duration):
+        return {"error": "project not found !"}
+    with open(file_duration, encoding="utf-8") as f:
+        duration_list = json.load(f)["duration"]
+
+    max_sample_length = max(duration_list) * SAMPLING_RATE / HOP_LENGTH
+    total_samples = len(duration_list)
+    total_duration = sum(duration_list)
+
+    if batch_size_type == "frame":
+        batch_size_per_gpu = max(
+            int(FRAMES_PER_16GB_CHIP * hbm_gb_per_chip / 16.0),
+            int(max_sample_length),
+        )
+        mini_batch_duration = batch_size_per_gpu * n_chips * HOP_LENGTH / SAMPLING_RATE
+        updates_per_epoch = total_duration / mini_batch_duration
+    else:  # sample
+        batch_size_per_gpu = int(200 / (total_duration / total_samples))
+        updates_per_epoch = total_samples / max(batch_size_per_gpu, 1) / n_chips
+
+    if total_samples < 64:
+        max_samples = int(total_samples * 0.25)
+    num_warmup_updates = max(num_warmup_updates, int(total_samples * 0.05))
+    epochs = int(MAX_UPDATES / max(updates_per_epoch, 1e-9))
+    learning_rate = 1e-5 if finetune else 7.5e-5
+
+    return {
+        "epochs": epochs,
+        "learning_rate": learning_rate,
+        "batch_size_per_gpu": batch_size_per_gpu,
+        "max_samples": max_samples,
+        "num_warmup_updates": num_warmup_updates,
+        "total_samples": total_samples,
+        "total_duration_hms": format_seconds_to_hms(total_duration),
+    }
+
+
+# ---------------------------------------------------------------------------
+# vocab check + project/sample browsing (finetune_gradio.py:997-1160,1214-1267)
+# ---------------------------------------------------------------------------
+
+
+def vocab_count(text: str) -> int:
+    return len(text.split(","))
+
+
+def vocab_check(project_dir: str, vocab_file: str,
+                tokenizer_type: str = "kor_grapheme") -> tuple[str, str]:
+    """Scan metadata.csv for symbols missing from the vocab (:1064-1108)."""
+    file_metadata = os.path.join(project_dir, "metadata.csv")
+    if not os.path.isfile(vocab_file):
+        return f"the file {vocab_file} not found !", ""
+    if not os.path.isfile(file_metadata):
+        return f"the file {file_metadata} not found !", ""
+    with open(vocab_file, encoding="utf-8-sig") as f:
+        vocab = set(f.read().split("\n"))
+
+    from korean_f5_tts_tpu.text.vocab import tokenize_text
+
+    miss, seen = [], set()
+    with open(file_metadata, encoding="utf-8-sig") as f:
+        for line in f:
+            sp = line.rstrip("\n").split("|")
+            if len(sp) != 2:
+                continue
+            tokens = tokenize_text([sp[1].strip()], tokenizer_type, vocab={"": 0}
+                                   if tokenizer_type != "pinyin" else None)[0]
+            for t in tokens:
+                if t not in vocab and t not in seen:
+                    miss.append(t)
+                    seen.add(t)
+    if not miss:
+        return "You can train using your language !", ""
+    return (f"The following {len(miss)} symbols are missing in your language\n\n",
+            ",".join(miss))
+
+
+def get_list_projects(root: str = "data") -> list[str]:
+    """Project dirs under data/ (finetune_gradio.py:595-608)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        if os.path.isdir(os.path.join(root, name)) and (
+            name.endswith("_pinyin") or name.endswith("_char")
+            or os.path.exists(os.path.join(root, name, "metadata.csv"))
+        ):
+            out.append(name)
+    return out
+
+
+def get_checkpoints_project(project_name: str, ckpt_root: str = "ckpts") -> list[str]:
+    """Sorted checkpoint files for the test-model tab (:1214-1245)."""
+    base = project_name.replace("_pinyin", "").replace("_char", "")
+    d = os.path.join(ckpt_root, base)
+    if not os.path.isdir(d):
+        return []
+    files = [f for f in os.listdir(d) if f.endswith((".npz", ".pt", ".safetensors"))]
+
+    def step_of(f):
+        digits = "".join(c for c in f if c.isdigit())
+        return int(digits) if digits else -1
+
+    return [os.path.join(d, f) for f in sorted(files, key=step_of)]
+
+
+def get_audio_project(project_dir: str) -> list[str]:
+    wavs = os.path.join(project_dir, "wavs")
+    if not os.path.isdir(wavs):
+        return []
+    return [os.path.join(wavs, f) for f in sorted(os.listdir(wavs))
+            if f.endswith(".wav")]
+
+
+def get_random_sample_transcribe(project_dir: str, seed: int | None = None):
+    """(text, audio_path) drawn from metadata.csv (:1124-1150)."""
+    import random as _random
+
+    meta = os.path.join(project_dir, "metadata.csv")
+    if not os.path.isfile(meta):
+        return "", None
+    rows = []
+    with open(meta, encoding="utf-8-sig") as f:
+        for line in f:
+            sp = line.rstrip("\n").split("|")
+            if len(sp) == 2:
+                rows.append(sp)
+    if not rows:
+        return "", None
+    name, text = _random.Random(seed).choice(rows)
+    audio = os.path.join(project_dir, "wavs", name)
+    if not audio.endswith(".wav"):
+        audio += ".wav"
+    return text, audio
+
+
+def get_random_sample_prepare(project_dir: str, seed: int | None = None):
+    """(token-list string, audio_path) from the prepared arrow (:1111-1121)."""
+    import random as _random
+
+    from korean_f5_tts_tpu.data.dataset import _read_arrow_rows
+
+    arrow = os.path.join(project_dir, "raw.arrow")
+    if not os.path.isfile(arrow):
+        return "", None
+    rows = _read_arrow_rows(arrow)
+    if not rows:
+        return "", None
+    row = _random.Random(seed).choice(rows)
+    toks = row["text"] if isinstance(row["text"], list) else list(row["text"])
+    return "[" + " , ".join(f"' {t} '" for t in toks) + "]", row.get("audio_path")
+
+
+def test_model_infer(ckpt_path: str, ref_audio: str, ref_text: str, gen_text: str,
+                     exp_name: str = "F5TTS_v1_Base", tokenizer: str = "custom",
+                     vocab_file: str = "", nfe_step: int = 32, speed: float = 1.0,
+                     seed: int | None = None):
+    """Test-model tab core (:1162-1208): load ckpt + zero-shot synth."""
+    from korean_f5_tts_tpu.api import load_vocoder
+    from korean_f5_tts_tpu.config import preset_model_config
+    from korean_f5_tts_tpu.infer.model import load_model
+    from korean_f5_tts_tpu.infer.utils_infer import infer_process, preprocess_ref_audio_text
+
+    model = load_model(preset_model_config(exp_name), ckpt_path=ckpt_path or None,
+                       tokenizer=tokenizer, vocab_file=vocab_file or None)
+    vocoder = load_vocoder("vocos")
+    ref_audio, ref_text = preprocess_ref_audio_text(ref_audio, ref_text,
+                                                    show_info=lambda *a: None)
+    wav, sr, _ = infer_process(ref_audio, ref_text, gen_text, model, vocoder,
+                               nfe_step=nfe_step, speed=speed, seed=seed,
+                               show_info=lambda *a: None)
+    return sr, wav
+
+
 def build_app():  # pragma: no cover - requires gradio
     try:
         import gradio as gr
@@ -145,19 +403,164 @@ def build_app():  # pragma: no cover - requires gradio
             "programmatically or f5-tts_finetune-cli"
         ) from e
 
+    projects = get_list_projects() or ["my_speak_pinyin"]
+
     with gr.Blocks(title="F5-TTS finetune studio (TPU)") as app:
         gr.Markdown("# Finetune studio")
-        project_name = gr.Textbox(label="Project name", value="my_speak")
-        state = gr.State({})
+        with gr.Row():
+            project = gr.Dropdown(choices=projects, value=projects[0],
+                                  label="Project", allow_custom_value=True)
+            btn_create = gr.Button("Create / refresh")
+        status = gr.Textbox(label="Status")
 
         def _create(name):
-            proj = FinetuneProject(name)
+            proj = FinetuneProject(name.replace("_pinyin", "").replace("_char", ""))
             proj.create()
-            return {"project": name}, f"created {proj.dir}"
+            return gr.update(choices=get_list_projects() or [name]), f"ready: {proj.dir}"
 
-        status = gr.Textbox(label="Status")
-        gr.Button("Create project").click(_create, project_name, [state, status])
-        gr.JSON(system_stats, label="System")
+        btn_create.click(_create, project, [project, status])
+
+        def _dir(name):
+            base = name.replace("_pinyin", "").replace("_char", "")
+            p = FinetuneProject(base)
+            return p.dir if os.path.isdir(p.dir) else os.path.join("data", name)
+
+        with gr.Tabs():
+            with gr.TabItem("Transcribe Data"):
+                gr.Markdown("Upload long audio; it is sliced into clips. "
+                            "Transcription needs an ASR backend "
+                            "(set_asr_backend) — offline images write "
+                            "metadata.csv manually.")
+                audio_in = gr.File(label="Audio files", file_count="multiple")
+                out_slices = gr.Textbox(label="Slices")
+
+                def _slice(name, files):
+                    proj = FinetuneProject(name.replace("_pinyin", "").replace("_char", ""))
+                    proj.create()
+                    done = []
+                    for f in files or []:
+                        done += proj.slice_audio(f.name if hasattr(f, "name") else f)
+                    return "\n".join(done) or "no files"
+
+                gr.Button("Slice").click(_slice, [project, audio_in], out_slices)
+                t_text = gr.Textbox(label="Random transcribed sample")
+                t_audio = gr.Audio(label="Audio", type="filepath")
+                gr.Button("Random sample").click(
+                    lambda n: get_random_sample_transcribe(_dir(n)),
+                    project, [t_text, t_audio])
+
+            with gr.TabItem("Vocab Check"):
+                vocab_file = gr.Textbox(label="Vocab file",
+                                        value="data/vocab_korean.txt")
+                tok = gr.Dropdown(["kor_grapheme", "kor_phoneme", "kor_allophone",
+                                   "pinyin", "char"], value="kor_grapheme",
+                                  label="Tokenizer")
+                info = gr.Textbox(label="Info")
+                missing = gr.Textbox(label="Missing symbols")
+                gr.Button("Check").click(
+                    lambda n, v, t: vocab_check(_dir(n), v, t),
+                    [project, vocab_file, tok], [info, missing])
+
+                sym = gr.Textbox(label="Symbols to add (comma-separated)")
+                ck_path = gr.Textbox(label="Checkpoint to extend (.npz)")
+                ext_out = gr.Textbox(label="Extend result")
+
+                def _extend(vfile, symbols, ck):
+                    from korean_f5_tts_tpu.train.vocab_extend import extend_checkpoint
+
+                    out_ck = ck.replace(".npz", "_extended.npz")
+                    out_vocab = vfile.replace(".txt", "_extended.txt")
+                    n = extend_checkpoint(ck, out_ck, vfile,
+                                          [s for s in symbols.split(",") if s],
+                                          out_vocab)
+                    return f"{out_ck} / {out_vocab} ({n} tokens)"
+
+                gr.Button("Extend vocab + model").click(
+                    _extend, [vocab_file, sym, ck_path], ext_out)
+
+            with gr.TabItem("Prepare Data"):
+                tok2 = gr.Dropdown(["char", "kor_grapheme", "kor_phoneme",
+                                    "kor_allophone"], value="char", label="Tokenizer")
+                prep_out = gr.Textbox(label="Arrow output")
+
+                def _prepare(name, t):
+                    proj = FinetuneProject(name.replace("_pinyin", "").replace("_char", ""))
+                    return proj.prepare_arrow(tokenizer=t)
+
+                gr.Button("Prepare").click(_prepare, [project, tok2], prep_out)
+                p_text = gr.Textbox(label="Random prepared sample (tokens)")
+                p_audio = gr.Audio(label="Audio", type="filepath")
+                gr.Button("Random sample").click(
+                    lambda n: get_random_sample_prepare(_dir(n)),
+                    project, [p_text, p_audio])
+
+            with gr.TabItem("Train Model"):
+                with gr.Row():
+                    exp = gr.Dropdown(["F5TTS_v1_Base", "F5TTS_Base", "E2TTS_Base"],
+                                      value="F5TTS_v1_Base", label="Model")
+                    tok3 = gr.Textbox(value="char", label="Tokenizer")
+                settings_json = gr.JSON(label="Settings")
+                gr.Button("Load settings").click(
+                    lambda n: load_settings(n), project, settings_json)
+                gr.Button("Auto-configure").click(
+                    lambda n: calculate_train(_dir(n)), project, settings_json)
+
+                def _save(name, s):
+                    return save_settings(name, s or {})
+
+                gr.Button("Save settings").click(_save, [project, settings_json], status)
+                train_log = gr.Textbox(label="Training")
+                proc_state = gr.State({})
+
+                def _start(name, e, t, st):
+                    proj = st.get("proj") or FinetuneProject(
+                        name.replace("_pinyin", "").replace("_char", ""))
+                    pid = proj.start_training(exp_name=e, tokenizer=t)
+                    return {"proj": proj}, f"training pid {pid}"
+
+                def _stop(st):
+                    if st.get("proj"):
+                        st["proj"].stop_training()
+                    return "stopped"
+
+                gr.Button("Start").click(_start, [project, exp, tok3, proc_state],
+                                         [proc_state, train_log])
+                gr.Button("Stop").click(_stop, proc_state, train_log)
+
+            with gr.TabItem("Test Model"):
+                ckpts = gr.Dropdown(choices=[], label="Checkpoint",
+                                    allow_custom_value=True)
+                gr.Button("List checkpoints").click(
+                    lambda n: gr.update(choices=get_checkpoints_project(n)),
+                    project, ckpts)
+                ref_a = gr.Audio(label="Reference audio", type="filepath")
+                ref_t = gr.Textbox(label="Reference text")
+                gen_t = gr.Textbox(label="Text to generate")
+                nfe = gr.Slider(4, 64, value=32, step=1, label="NFE")
+                audio_out = gr.Audio(label="Generated")
+
+                def _infer(ck, ra, rt, gt, n_):
+                    sr, wav = test_model_infer(ck, ra, rt, gt, nfe_step=int(n_))
+                    return (sr, wav)
+
+                gr.Button("Synthesize").click(_infer, [ckpts, ref_a, ref_t, gen_t, nfe],
+                                              audio_out)
+
+            with gr.TabItem("Prune Checkpoint"):
+                ck_in = gr.Textbox(label="Checkpoint path")
+                pr_out = gr.Textbox(label="Pruned path")
+
+                def _prune(name, ck):
+                    from korean_f5_tts_tpu.train.vocab_extend import prune_checkpoint
+
+                    dst = ck.replace(".npz", "_pruned.npz")
+                    prune_checkpoint(ck, dst)
+                    return dst
+
+                gr.Button("Prune").click(_prune, [project, ck_in], pr_out)
+
+            with gr.TabItem("System Info"):
+                gr.JSON(system_stats, label="System")
     return app
 
 
