@@ -74,6 +74,21 @@ class _Prefetcher:
         return item
 
 
+class _WandbWriter:
+    """SummaryWriter-shaped adapter over wandb (reference logs via
+    accelerate's wandb tracker, trainer.py:88-107)."""
+
+    def __init__(self, wandb_module):
+        self._wandb = wandb_module
+
+    def add_scalar(self, tag, value, step):
+        self._wandb.log({tag: value}, step=step)
+
+    def add_audio(self, tag, audio, step, sample_rate=24_000):
+        self._wandb.log(
+            {tag: self._wandb.Audio(audio, sample_rate=sample_rate)}, step=step)
+
+
 class Trainer:
     def __init__(
         self,
@@ -145,6 +160,17 @@ class Trainer:
                 from torch.utils.tensorboard import SummaryWriter
 
                 self.writer = SummaryWriter(log_dir or os.path.join(checkpoint_path, "tb"))
+            except Exception:
+                self.writer = None
+        elif logger == "wandb":
+            # reference trainer.py:88-107 parity: wandb when importable
+            # (absent in offline images -> falls back to no logging)
+            try:
+                import wandb
+
+                wandb.init(project=os.environ.get("WANDB_PROJECT", "korean-f5-tts"),
+                           dir=log_dir or checkpoint_path, resume="allow")
+                self.writer = _WandbWriter(wandb)
             except Exception:
                 self.writer = None
 

@@ -37,6 +37,8 @@ pad_mask = jnp.asarray(np.arange(N)[None, :] < 1376)
 
 
 def bench(fn, args, iters=30, name=""):
+    # params must be jit ARGUMENTS: closed-over arrays become HLO constants
+    # and blow the relay's request-size limit (HTTP 413)
     f = jax.jit(fn)
     out = f(*args)
     float(jnp.abs(out).sum())  # compile+fence
@@ -49,7 +51,7 @@ def bench(fn, args, iters=30, name=""):
     return dt
 
 
-def full_blocks(h, mods):
+def full_blocks(params, h, mods):
     cos, sin = _rope_table(N, arch.dim_head)
     rope = (jnp.asarray(cos), jnp.asarray(sin))
     for i, blk in enumerate(params["blocks"]):
@@ -65,7 +67,7 @@ def full_blocks(h, mods):
     return h
 
 
-def blocks_no_attn(h, mods):
+def blocks_no_attn(params, h, mods):
     # attention replaced by identity: isolates matmuls + LN/elementwise
     for i, blk in enumerate(params["blocks"]):
         e = mods[i][None, :].astype(h.dtype)
@@ -82,7 +84,7 @@ def blocks_no_attn(h, mods):
     return h
 
 
-def matmuls_only(h):
+def matmuls_only(params, h):
     # raw matmul chain, no LN / modulation / gates / residuals
     for blk in params["blocks"]:
         wqkv = jnp.concatenate([blk["attn"]["to_q"]["w"], blk["attn"]["to_k"]["w"],
@@ -94,7 +96,7 @@ def matmuls_only(h):
     return h
 
 
-def attn_only(h):
+def attn_only(params, h):
     cos, sin = _rope_table(N, arch.dim_head)
     rope = (jnp.asarray(cos), jnp.asarray(sin))
     for blk in params["blocks"]:
@@ -111,7 +113,7 @@ def ln_only(h):
     return h
 
 
-def conv_pos_only(h):
+def conv_pos_only(params, h):
     from korean_f5_tts_tpu.models.modules import conv_position_embedding
 
     for _ in range(8):
@@ -119,23 +121,24 @@ def conv_pos_only(h):
     return h
 
 
-def vocoder_decode(mel):
-    from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+def vocoder_decode(vp, mel):
+    from korean_f5_tts_tpu.models.vocos import VocosConfig, vocos_decode
 
-    vcfg = VocosConfig()
-    vp = jax.tree_util.tree_map(
-        lambda x: x.astype(DT) if x.dtype == jnp.float32 else x,
-        init_vocos(jax.random.PRNGKey(1), vcfg))
-    return vocos_decode(vp, mel, vcfg)
+    return vocos_decode(vp, mel, VocosConfig())
 
 
 if __name__ == "__main__":
     print(json.dumps({"devices": str(jax.devices())}), flush=True)
-    bench(full_blocks, (h0, mods0), name="22_blocks_full")
-    bench(blocks_no_attn, (h0, mods0), name="22_blocks_attn_as_matmul")
-    bench(matmuls_only, (h0,), name="22_blocks_matmuls_only")
-    bench(attn_only, (h0,), name="22_attn_only(padmask)")
+    bench(full_blocks, (params, h0, mods0), name="22_blocks_full")
+    bench(blocks_no_attn, (params, h0, mods0), name="22_blocks_attn_as_matmul")
+    bench(matmuls_only, (params, h0), name="22_blocks_matmuls_only")
+    bench(attn_only, (params, h0), name="22_attn_only(padmask)")
     bench(ln_only, (h0,), name="44_layernorms")
-    bench(conv_pos_only, (h0,), name="8x_conv_pos(pallas)")
+    bench(conv_pos_only, (params, h0), name="8x_conv_pos(pallas)")
+    from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos
+
+    vp = jax.tree_util.tree_map(
+        lambda x: x.astype(DT) if x.dtype == jnp.float32 else x,
+        init_vocos(jax.random.PRNGKey(1), VocosConfig()))
     mel = jnp.asarray(rng.standard_normal((1, 100, 1024)).astype(np.float32)).astype(DT)
-    bench(vocoder_decode, (mel,), iters=10, name="vocos_decode_1024f")
+    bench(vocoder_decode, (vp, mel), iters=10, name="vocos_decode_1024f")
