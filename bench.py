@@ -57,6 +57,10 @@ def main():
     cond_len, total_len = 432, 1376  # frames; total padded by sampler bucket
     # 512-frame bucket (shared-segment splash, best measured); A/B override
     n_bucket = int(os.environ.get("F5_TTS_BENCH_BUCKET", "1536"))
+    if os.environ.get("F5_TTS_BENCH_NOPAD", "0") != "0":
+        # A/B: exact bucket fit -> pad_mask=None -> unmasked splash path,
+        # same generated seconds (isolates the cost of masking)
+        cond_len, total_len = n_bucket - (total_len - cond_len), n_bucket
     rng = np.random.default_rng(0)
 
     cond = jnp.asarray(rng.standard_normal((1, n_bucket, 100)).astype(np.float32)).astype(compute_dtype)
@@ -68,8 +72,11 @@ def main():
 
     # bucket padding past the requested duration: [1, n] pad_mask — always
     # masked in attention (shared-segment splash fast path), b==1 so no
-    # reference-semantics duration mask
-    pad_mask = jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
+    # reference-semantics duration mask; None when the request fits exactly
+    pad_mask = (jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
+                if total_len < n_bucket else None)
+
+    skip_vocoder = os.environ.get("F5_TTS_BENCH_NOVOC", "0") != "0"  # attribution A/B
 
     def synthesize(params, voc_params, step_cond, text, y0):
         mel = _sample_core.__wrapped__(
@@ -78,6 +85,8 @@ def main():
             steps=16, use_cfg=True, use_sway=True, use_epss=True,
         )
         out = jnp.where(jnp.asarray(cond_mask), step_cond, mel)
+        if skip_vocoder:
+            return out
         wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2).astype(compute_dtype), vcfg)
         return wav
 

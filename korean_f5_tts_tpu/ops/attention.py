@@ -212,9 +212,28 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     at unmasked speed instead of materialising [n, n] logits in the XLA path.
     Falls back to XLA off-TPU / for tile-unfriendly shapes (warns once).
     """
+    import os
+
+    if os.environ.get("F5_TTS_ATTN_IDENTITY", "0") != "0":
+        return v  # profiling hack: in-model cost of everything-but-attention
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
+        if (os.environ.get("F5_TTS_PREFIX_FOR_UNIFORM", "0") != "0"
+                and prefix_lens is not None and n % 256 == 0):
+            # A/B hook: route batch-uniform masks through the own prefix-flash
+            # kernel instead of shared-segment splash (kernel tuning meter).
+            # Uniform bucket-tail masks fill most of n -> prune=False (the
+            # per-chunk predication costs more than the skipped chunks save)
+            from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
+
+            try:
+                bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
+                bq = int(os.environ.get("F5_TTS_PREFIX_BQ", "256"))
+                return flash_prefix_attention(q, k, v, prefix_lens,
+                                              bq=bq, bkv=bkv, prune=False)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                _warn_fallback("prefix-flash", e)
         if (mask is None or (mask.ndim == 2 and mask.shape[0] == 1)) and n % 512 == 0:
             # unmasked or batch-uniform prefix mask: shared-segment splash
             # (best measured masked config in-model on v5e)

@@ -63,48 +63,60 @@ def _chunk_plan(n: int, pref: int) -> list[tuple[int, int]]:
 
 
 def _softmax_over_chunks(q, k_read, v_read, kvlen, sm_scale,
-                         chunks, m_scr, l_scr, acc_scr):
+                         chunks, m_scr, l_scr, acc_scr, prune: bool = True):
     """Online softmax over the KV prefix, statically unrolled.
 
-    The chunk loop is a python unroll of predicated (@pl.when) blocks — a
-    dynamic-trip fori_loop defeats Mosaic's software pipelining of the two
-    dots (measured ~30% slower), while predicated-off chunks beyond the
-    prefix skip in a few cycles. State lives in VMEM scratch (register
-    carries cannot cross pl.when).
+    The chunk loop is a python unroll — a dynamic-trip fori_loop defeats
+    Mosaic's software pipelining of the two dots (measured ~30% slower).
+    State lives in VMEM scratch (register carries cannot cross pl.when).
+
+    prune: wrap each chunk in @pl.when(start < kvlen) so chunks entirely
+    beyond the prefix skip — pays a predication cost per chunk, so set it
+    only when prefixes are typically much shorter than n (per-item serving
+    batches). With prune=False a fully-masked chunk is still exact: its
+    scores are all MASK_VALUE, so p == 0 and m/l/acc are unchanged
+    (requires kvlen >= 1, which every duration/bucket prefix satisfies).
     """
     dh = q.shape[-1]
-    scale2 = sm_scale * LOG2E
+    # scale q ONCE ([bq, dh]) instead of every s chunk ([bq, ck] x chunks);
+    # log2e folded in so softmax runs in base 2 (splash-crib: q pre-scaled)
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
     m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
+    def _chunk(start, size):
+        k = k_read(start, size)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # base-2 domain
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < kvlen, s, MASK_VALUE)
+        m_prev = m_scr[...]                           # [bq, LANES]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]          # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)          # [bq, LANES]
+        p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
+        alpha = jnp.exp2(m_prev - m_next)
+        l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scr[...] = m_next
+        v = v_read(start, size)
+        # f32 p @ f32 v (splash-crib): skips the p->bf16 convert pass
+        acc_scr[...] = acc_scr[...] * alpha[:, :dh] + jax.lax.dot(
+            p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+
     for start, size in chunks:
-        @pl.when(start < kvlen)
-        def _chunk(start=start, size=size):
-            k = k_read(start, size)
-            s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale2  # base-2 domain
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-            s = jnp.where(col < kvlen, s, MASK_VALUE)
-            m_prev = m_scr[...]                           # [bq, LANES]
-            l_prev = l_scr[...]
-            m_curr = jnp.max(s, axis=1)[:, None]          # [bq, 1]
-            m_next = jnp.maximum(m_prev, m_curr)          # [bq, LANES]
-            p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
-            alpha = jnp.exp2(m_prev - m_next)
-            l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-            m_scr[...] = m_next
-            v = v_read(start, size)
-            acc_scr[...] = acc_scr[...] * alpha[:, :dh] + jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        if prune:
+            pl.when(start < kvlen)(functools.partial(_chunk, start, size))
+        else:
+            _chunk(start, size)
 
     l = l_scr[...][:, :dh]
     return acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)
 
 
 def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-            *, sm_scale: float, ck: int):
+            *, sm_scale: float, ck: int, prune: bool):
     h = pl.program_id(0)
     kvlen = kvlen_ref[h]
     n = k_ref.shape[1]
@@ -112,13 +124,14 @@ def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
         q_ref[0],
         lambda s, z: k_ref[0, pl.ds(s, z), :],
         lambda s, z: v_ref[0, pl.ds(s, z), :],
-        kvlen, sm_scale, _chunk_plan(n, ck), m_scr, l_scr, acc_scr)
+        kvlen, sm_scale, _chunk_plan(n, ck), m_scr, l_scr, acc_scr,
+        prune=prune)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck"))
+@functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
 def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
-                         bq: int = 256, ck: int = 512):
+                         bq: int = 256, ck: int = 512, prune: bool = True):
     """q, k, v: [H, n, d] (batch already folded into heads); kv_lens: [H]."""
     H, n, d = q.shape
     assert n % bq == 0 and n % LANES == 0, (n, bq)
@@ -139,7 +152,7 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_kernel, sm_scale=sm_scale, ck=ck)
+    kernel = functools.partial(_kernel, sm_scale=sm_scale, ck=ck, prune=prune)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -163,10 +176,11 @@ def _xla_prefix_attention(q, k, v, kv_lens):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def flash_prefix_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            kv_lens: jax.Array,
-                           bq: int = 256, bkv: int = 512) -> jax.Array:
+                           bq: int = 256, bkv: int = 512,
+                           prune: bool = True) -> jax.Array:
     """[b, h, n, d] attention where item i attends only keys [0, kv_lens[i]).
 
     kv_lens: [b] (or [1], broadcast) int32 valid-prefix lengths. Query rows
@@ -182,15 +196,16 @@ def flash_prefix_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     lens_h = jnp.repeat(lens, h)  # [b*h]
     out = _flash_prefix_folded(
         q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d),
-        lens_h, scale, bq=bq, ck=bkv)
+        lens_h, scale, bq=bq, ck=bkv, prune=prune)
     return out.reshape(b, h, n, d)
 
 
-def _fp_fwd(q, k, v, kv_lens, bq, bkv):
-    return flash_prefix_attention(q, k, v, kv_lens, bq, bkv), (q, k, v, kv_lens)
+def _fp_fwd(q, k, v, kv_lens, bq, bkv, prune):
+    return (flash_prefix_attention(q, k, v, kv_lens, bq, bkv, prune),
+            (q, k, v, kv_lens))
 
 
-def _fp_bwd(bq, bkv, res, g):
+def _fp_bwd(bq, bkv, prune, res, g):
     q, k, v, kv_lens = res
     lens = kv_lens.astype(jnp.int32)
     if lens.shape[0] == 1 and q.shape[0] > 1:
