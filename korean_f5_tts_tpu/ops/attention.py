@@ -219,39 +219,29 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
-        if (os.environ.get("F5_TTS_PREFIX_FOR_UNIFORM", "0") != "0"
-                and prefix_lens is not None and n % 256 == 0):
-            # A/B hook: route batch-uniform masks through the own prefix-flash
-            # kernel instead of shared-segment splash (kernel tuning meter).
-            # Uniform bucket-tail masks fill most of n -> prune=False (the
-            # per-chunk predication costs more than the skipped chunks save)
+        if (prefix_lens is not None and n % 256 == 0
+                and os.environ.get("F5_TTS_UNIFORM_SPLASH", "0") == "0"):
+            # prefix-masked attention: own prefix-flash kernel. In-model on
+            # v5e (headline protocol): 0.02256 RTF vs shared-segment splash
+            # 0.02353 / XLA 0.02828. Uniform bucket-tail masks fill most of
+            # n -> prune=False (per-chunk predication costs more than the
+            # skipped chunks save); per-item serving batches prune.
             from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
 
+            uniform = mask is not None and mask.ndim == 2 and mask.shape[0] == 1
             try:
                 bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
                 bq = int(os.environ.get("F5_TTS_PREFIX_BQ", "256"))
                 return flash_prefix_attention(q, k, v, prefix_lens,
-                                              bq=bq, bkv=bkv, prune=False)
+                                              bq=bq, bkv=bkv, prune=not uniform)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("prefix-flash", e)
         if (mask is None or (mask.ndim == 2 and mask.shape[0] == 1)) and n % 512 == 0:
-            # unmasked or batch-uniform prefix mask: shared-segment splash
-            # (best measured masked config in-model on v5e)
+            # unmasked (or splash forced for A/B): shared-segment splash
             try:
                 return _tpu_splash(q, k, v, mask)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("splash", e)
-        if prefix_lens is not None and n % 256 == 0:
-            # per-item prefix masks (serving batches): prefix-flash kernel.
-            # bq=128 shapes (n % 256 != 0) measured slower than XLA in-model
-            # -> fall through to the XLA path there.
-            from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
-
-            try:
-                return flash_prefix_attention(q, k, v, prefix_lens,
-                                              bq=256, bkv=512)
-            except Exception as e:  # pragma: no cover - hardware-dependent
-                _warn_fallback("prefix-flash", e)
     if on_tpu and flash_enabled() and n % 128 == 0 and d in (64, 128, 256):
         try:
             return _tpu_flash(q, k, v, mask)

@@ -37,6 +37,21 @@ def test_matches_xla_reference(lens):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_noprune_matches_pruned():
+    # prune=False (headline path: all chunks computed, masked-out chunks are
+    # exact no-ops) must equal prune=True and the XLA reference
+    b, h, n, d = 1, 2, 512, 64
+    q, k, v = _rand((b, h, n, d), 40), _rand((b, h, n, d), 41), _rand((b, h, n, d), 42)
+    kv_lens = jnp.asarray([130], jnp.int32)  # 3 of 4 chunks fully masked
+    got_np = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+    got_p = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, True)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    np.testing.assert_allclose(np.asarray(got_np)[:, :, :130],
+                               np.asarray(want)[:, :, :130], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_np)[:, :, :130],
+                               np.asarray(got_p)[:, :, :130], rtol=1e-6, atol=1e-6)
+
+
 def test_broadcast_single_len():
     b, h, n, d = 3, 2, 256, 64
     q, k, v = _rand((b, h, n, d), 4), _rand((b, h, n, d), 5), _rand((b, h, n, d), 6)
