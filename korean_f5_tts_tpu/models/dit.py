@@ -320,27 +320,81 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
 
     import os as _os
 
-    # fused FF half-block kernel: in-model RTF 0.02235 vs 0.02261 unfused
-    # (the modulated-norm and GELU intermediates never round-trip HBM)
+    # fused half-block kernels (in-model RTF on v5e, headline protocol):
+    #   FF half (ops/ff_block.py): 0.02235 vs 0.02261 unfused — the
+    #     modulated-norm and GELU intermediates never round-trip HBM.
+    #   attention linears (ops/fused_linears.py): AdaLN-norm+qkv projection
+    #     in one program, output projection folded into the gated residual.
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    m_rows = h.shape[0] * seq_len
     use_ff_fused = (
         _os.environ.get("F5_TTS_FF_FUSED", "1") != "0"
-        and jax.default_backend() not in ("cpu", "gpu")
-        and (h.shape[0] * seq_len) % 256 == 0
+        and on_tpu and m_rows % 256 == 0
     )
     if use_ff_fused:
         from korean_f5_tts_tpu.ops.ff_block import ff_block_fused
+    # the fused attention-linear path inlines qkv/rope/sdpa/out-proj, so it
+    # is restricted to the shapes it reproduces exactly: fused-qkv weights,
+    # no qk-norm, and reference-semantics masks handled via prefix lens.
+    # Default OFF: in-model it measured 0.02327 vs 0.02235 — XLA already
+    # fuses the LN/modulate into the qkv matmul and the pallas boundary
+    # blocks that; the FF half (above) wins because XLA does NOT fuse
+    # across the two FF matmuls. Kept for the int8 path where the in-kernel
+    # quantize changes the tradeoff.
+    use_attn_fused = (
+        _os.environ.get("F5_TTS_ATTN_LINEAR_FUSED", "0") != "0"
+        and on_tpu and m_rows % 256 == 0 and mask is None
+        and cfg.qk_norm is None
+    )
+    if use_attn_fused:
+        from korean_f5_tts_tpu.models.modules import (
+            _merge_heads,
+            _split_heads,
+            apply_rope,
+        )
+        from korean_f5_tts_tpu.ops.fused_linears import (
+            ln_mod_matmul,
+            proj_gated_residual,
+        )
+
+        prefix_lens = (pad_mask.sum(axis=-1, dtype=jnp.int32)
+                       if pad_mask is not None else None)
 
     for i, blk in enumerate(p["blocks"]):
         e = mods[i][None, :].astype(h.dtype)  # [1, 6*dim]
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             e, 6, axis=-1
         )
-        norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
-        attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,
-                           pe_attn_head=cfg.pe_attn_head,
-                           attn_mask_enabled=cfg.attn_mask_enabled,
-                           pad_mask=pad_mask)
-        h = h + gate_msa[:, None] * attn_out
+        ap = blk["attn"]
+        attn_fusable = use_attn_fused and all(
+            "w" in ap[k_] and "b" in ap[k_] for k_ in ("to_q", "to_k", "to_v", "to_out"))
+        if attn_fusable:
+            wqkv = jnp.concatenate(
+                [ap["to_q"]["w"], ap["to_k"]["w"], ap["to_v"]["w"]], axis=1
+            ).astype(h.dtype)
+            bqkv = jnp.concatenate(
+                [ap["to_q"]["b"], ap["to_k"]["b"], ap["to_v"]["b"]]
+            ).astype(h.dtype)
+            qkv = ln_mod_matmul(h, scale_msa, shift_msa, wqkv, bqkv)
+            inner = ap["to_q"]["w"].shape[1]
+            q = _split_heads(qkv[..., :inner], cfg.heads)
+            k = _split_heads(qkv[..., inner:2 * inner], cfg.heads)
+            v = _split_heads(qkv[..., 2 * inner:], cfg.heads)
+            q = apply_rope(q, rope[0], rope[1], cfg.pe_attn_head)
+            k = apply_rope(k, rope[0], rope[1], cfg.pe_attn_head)
+            from korean_f5_tts_tpu.ops.attention import sdpa
+
+            a = _merge_heads(sdpa(q, k, v, pad_mask, prefix_lens=prefix_lens))
+            h = proj_gated_residual(a, h, gate_msa,
+                                    ap["to_out"]["w"].astype(h.dtype),
+                                    ap["to_out"]["b"].astype(h.dtype))
+        else:
+            norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
+            attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,
+                               pe_attn_head=cfg.pe_attn_head,
+                               attn_mask_enabled=cfg.attn_mask_enabled,
+                               pad_mask=pad_mask)
+            h = h + gate_msa[:, None] * attn_out
         if use_ff_fused and "in" in blk["ff"] and "w" in blk["ff"]["in"]:
             # whole FF half-block in ONE pallas program (ops/ff_block.py):
             # the modulated-norm and GELU intermediates never touch HBM
