@@ -395,7 +395,14 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
                                attn_mask_enabled=cfg.attn_mask_enabled,
                                pad_mask=pad_mask)
             h = h + gate_msa[:, None] * attn_out
-        if use_ff_fused and "in" in blk["ff"] and "w" in blk["ff"]["in"]:
+        if use_ff_fused and "in" in blk["ff"] and "w_int8" in blk["ff"]["in"]:
+            # int8-weight FF half-block: LN prologue + both dynamic
+            # activation quantizations in-kernel (models/quant.py layout)
+            from korean_f5_tts_tpu.ops.ff_block import ff_block_fused_int8
+
+            h = ff_block_fused_int8(h, scale_mlp, shift_mlp, gate_mlp,
+                                    blk["ff"]["in"], blk["ff"]["out"])
+        elif use_ff_fused and "in" in blk["ff"] and "w" in blk["ff"]["in"]:
             # whole FF half-block in ONE pallas program (ops/ff_block.py):
             # the modulated-norm and GELU intermediates never touch HBM
             h = ff_block_fused(

@@ -89,6 +89,110 @@ def _ff_block_call(h, sc, sh, gate, w1, b1, w2, b2, bm: int, eps: float):
     return out.reshape(B, n, d)
 
 
+def _quant_rows(y):
+    """Per-row symmetric int8 quantization, entirely in registers."""
+    s = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-6) / 127.0
+    q = jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _kernel_int8(h_ref, sc_ref, sh_ref, gate_ref, w1_ref, w1s_ref, b1_ref,
+                 w2_ref, w2s_ref, b2_ref, o_ref, *, eps: float):
+    """int8-weight variant: the prologue (LN+modulate) and BOTH dynamic
+    per-row activation quantizations run in VMEM, the two int8 dots ride
+    the MXU at 2x bf16 rate, and the rescales fuse in-register — the
+    failure mode of the standalone qmatmul (its prologue materialising to
+    HBM at the pallas boundary) cannot occur because the prologue IS here."""
+    x = h_ref[0]
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    y = xn * (1.0 + sc_ref[...].astype(jnp.float32)) + sh_ref[...].astype(jnp.float32)
+    yq, ys = _quant_rows(y)
+    z = jax.lax.dot_general(yq, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = z.astype(jnp.float32) * ys * w1s_ref[...].astype(jnp.float32)
+    z = _gelu_tanh(z + b1_ref[...].astype(jnp.float32))
+    zq, zs = _quant_rows(z)
+    o = jax.lax.dot_general(zq, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * zs * w2s_ref[...].astype(jnp.float32)
+    o = o + b2_ref[...].astype(jnp.float32)
+    out = xf + gate_ref[...].astype(jnp.float32) * o
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "eps"))
+def _ff_block_int8_call(h, sc, sh, gate, w1, w1s, b1, w2, w2s, b2,
+                        bm: int, eps: float):
+    B, n, d = h.shape
+    dff = w1.shape[1]
+    m = B * n
+    assert m % bm == 0, (m, bm)
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, eps=eps),
+        grid_spec=pl.GridSpec(
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((1, bm, d), lambda i: (0, i, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((d, dff), lambda i: (0, 0)),   # int8, VMEM-resident
+                pl.BlockSpec((1, dff), lambda i: (0, 0)),
+                pl.BlockSpec((1, dff), lambda i: (0, 0)),
+                pl.BlockSpec((dff, d), lambda i: (0, 0)),   # int8, VMEM-resident
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, d), lambda i: (0, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, m, d), h.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_INTERPRET,
+    )(h.reshape(1, m, d), sc.reshape(1, d), sh.reshape(1, d),
+      gate.reshape(1, d), w1, w1s.reshape(1, dff), b1.reshape(1, dff),
+      w2, w2s.reshape(1, d), b2.reshape(1, d))
+    return out.reshape(B, n, d)
+
+
+def ff_block_fused_int8(h, sc, sh, gate, qp_in: dict, qp_out: dict,
+                        bm: int = 256, eps: float = 1e-6) -> jax.Array:
+    """int8-weight FF half-block (models/quant.py layout: w_int8/w_scale/b).
+
+    Forward-only (int8 inference mode; training stays bf16/fp32)."""
+    d = h.shape[-1]
+    return _ff_block_int8_call(
+        h, sc.reshape(-1)[-d:], sh.reshape(-1)[-d:], gate.reshape(-1)[-d:],
+        qp_in["w_int8"], qp_in["w_scale"], qp_in["b"],
+        qp_out["w_int8"], qp_out["w_scale"], qp_out["b"], bm, eps)
+
+
+def _xla_reference_int8(h, sc, sh, gate, qp_in, qp_out, eps=1e-6):
+    """Unfused reference for the int8 kernel (same math, XLA ops)."""
+    xf = h.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    y = xn * (1.0 + sc.astype(jnp.float32)) + sh.astype(jnp.float32)
+    yq, ys = _quant_rows(y)
+    z = jax.lax.dot_general(yq, qp_in["w_int8"], (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    z = z.astype(jnp.float32) * ys * qp_in["w_scale"]
+    z = _gelu_tanh(z + qp_in["b"].astype(jnp.float32))
+    zq, zs = _quant_rows(z)
+    o = jax.lax.dot_general(zq, qp_out["w_int8"], (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * zs * qp_out["w_scale"]
+    o = o + qp_out["b"].astype(jnp.float32)
+    return (xf + gate.astype(jnp.float32) * o).astype(h.dtype)
+
+
 def _xla_reference(h, sc, sh, gate, w1, b1, w2, b2, eps=1e-6):
     xf = h.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)

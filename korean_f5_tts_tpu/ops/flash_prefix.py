@@ -228,28 +228,31 @@ flash_prefix_attention.defvjp(_fp_fwd, _fp_bwd)
 
 def _kernel_qkv(lens_ref, ropemask_ref, q_ref, k_ref, v_ref,
                 csq_ref, snq_ref, csk_ref, snk_ref, o_ref,
-                kr_scr, ma_scr, la_scr, aa_scr, mb_scr, lb_scr, ab_scr,
+                ma_scr, la_scr, aa_scr, mb_scr, lb_scr, ab_scr,
                 *, sm_scale: float, ck: int, hp: int, dh: int):
-    """Head-PAIR fused-layout kernel: each grid step handles two adjacent
-    heads so every HBM block is 128 lanes wide (Mosaic requires the last
-    block dim to be 128 or the full array dim — a single dh=64 head-view
-    into the [B, n, 3*h*dh] qkv array is not expressible).
+    """Whole-region fused-layout kernel: attention straight from the fused
+    qkv matmul output [B, n, 3*h*dh] with NO transposes and NO separate
+    rope passes.
 
-    q/k/v tiles are strided views into the ONE fused-qkv matmul output (no
-    split/merge transposes ever materialise in HBM). Half-split rope is
-    applied in-register: out = x * cs + swap(x) * sn with cs = [cos||cos],
-    sn = [-sin||sin] per head; swap (exchange dh/2 halves within each head)
-    rides the MXU as a dot with an iota-built block-diagonal permutation
-    (pltpu.roll on sub-lane slices crashes Mosaic; this formulation is
-    probe-verified). K is roped once per head-pair into VMEM scratch.
+    Blocks are the contiguous q/k/v column REGIONS (1024-wide, legal and
+    DMA-friendly; a strided 64- or 128-wide head view measured ~2x slower):
+    the q block index is constant across the inner head-pair grid dim and
+    the K/V blocks are constant across both q and pair dims, so each region
+    is fetched ONCE per (batch, q-block). Heads are read in-register as
+    dynamic 128-lane slices (pair of dh=64 heads). Half-split rope is
+    applied in-register: out = x*cs + swap(x)*sn with cs = [cos||cos],
+    sn = [-sin||sin] per head; swap rides the MXU as an iota-built
+    block-diagonal permutation dot (pltpu.roll on sub-lane slices crashes
+    Mosaic). K chunks are re-roped per use — a few MXU FLOPs, far cheaper
+    than an HBM rope pass.
     """
-    g = pl.program_id(0)   # folded (batch, head-pair)
-    i = pl.program_id(1)
-    pair = g % hp
-    kvlen = lens_ref[g // hp]
+    b = pl.program_id(0)
+    pair = pl.program_id(2)   # innermost: q/k/v region blocks stay resident
+    kvlen = lens_ref[b]
     rm_a = ropemask_ref[2 * pair]
     rm_b = ropemask_ref[2 * pair + 1]
     W = 2 * dh
+    lane0 = pl.multiple_of(pair * W, W)
 
     def _pair_rope(x, cs, sn):
         rows = x.shape[0]
@@ -264,27 +267,35 @@ def _kernel_qkv(lens_ref, ropemask_ref, q_ref, k_ref, v_ref,
         gate = jnp.where(lane < dh, rm_a, rm_b)  # per-half pe_attn_head gating
         return jnp.where(gate > 0, roped, x)
 
-    @pl.when(i == 0)
-    def _rope_k_once():
-        kr_scr[...] = _pair_rope(k_ref[0], csk_ref[...], snk_ref[...])
-
-    qp = _pair_rope(q_ref[0], csq_ref[...], snq_ref[...])
+    qp = _pair_rope(q_ref[0, :, pl.ds(lane0, W)], csq_ref[...], snq_ref[...])
     qa, qb = qp[:, :dh], qp[:, dh:]
     n = k_ref.shape[1]
     chunks = _chunk_plan(n, ck)
 
+    def k_half(half):
+        def read(start, size):
+            kc = k_ref[0, pl.ds(start, size), pl.ds(lane0, W)]
+            kc = _pair_rope(kc, csk_ref[pl.ds(start, size), :],
+                            snk_ref[pl.ds(start, size), :])
+            return kc[:, :dh] if half == 0 else kc[:, dh:]
+
+        return read
+
+    def v_half(half):
+        def read(start, size):
+            vc = v_ref[0, pl.ds(start, size), pl.ds(lane0, W)]
+            return vc[:, :dh] if half == 0 else vc[:, dh:]
+
+        return read
+
     out_a = _softmax_over_chunks(
-        qa,
-        lambda s, z: kr_scr[pl.ds(s, z), :dh],
-        lambda s, z: v_ref[0, pl.ds(s, z), :dh],
-        kvlen, sm_scale, chunks, ma_scr, la_scr, aa_scr)
+        qa, k_half(0), v_half(0),
+        kvlen, sm_scale, chunks, ma_scr, la_scr, aa_scr, prune=False)
     out_b = _softmax_over_chunks(
-        qb,
-        lambda s, z: kr_scr[pl.ds(s, z), dh:],
-        lambda s, z: v_ref[0, pl.ds(s, z), dh:],
-        kvlen, sm_scale, chunks, mb_scr, lb_scr, ab_scr)
+        qb, k_half(1), v_half(1),
+        kvlen, sm_scale, chunks, mb_scr, lb_scr, ab_scr, prune=False)
     out = jnp.concatenate([out_a, out_b], axis=1)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0, :, pl.ds(lane0, W)] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -293,26 +304,26 @@ def _flash_prefix_qkv_call(qkv, lens_b, ropemask, cs, sn, heads: int,
                            sm_scale: float, bq: int, ck: int):
     B, n, three_inner = qkv.shape
     dh = three_inner // (3 * heads)
+    inner = heads * dh
     assert n % bq == 0 and n % LANES == 0 and ck % LANES == 0, (n, bq, ck)
     assert 2 * dh == LANES and heads % 2 == 0, (dh, heads)
     hp = heads // 2
-    G = B * hp
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(G, n // bq),
+        grid=(B, n // bq, hp),
         in_specs=[
-            # strided head-pair views into the one fused qkv array
-            pl.BlockSpec((1, bq, LANES), lambda g, i, *_: (g // hp, i, g % hp)),
-            pl.BlockSpec((1, n, LANES), lambda g, i, *_: (g // hp, 0, hp + g % hp)),
-            pl.BlockSpec((1, n, LANES), lambda g, i, *_: (g // hp, 0, 2 * hp + g % hp)),
-            pl.BlockSpec((bq, LANES), lambda g, i, *_: (i, 0)),  # cs, q rows
-            pl.BlockSpec((bq, LANES), lambda g, i, *_: (i, 0)),  # sn, q rows
-            pl.BlockSpec((n, LANES), lambda g, i, *_: (0, 0)),   # cs, all rows (K)
-            pl.BlockSpec((n, LANES), lambda g, i, *_: (0, 0)),   # sn, all rows (K)
+            # contiguous q/k/v column REGIONS of the one fused qkv array;
+            # q constant across pair, K/V constant across (i, pair)
+            pl.BlockSpec((1, bq, inner), lambda b, i, g, *_: (b, i, 0)),
+            pl.BlockSpec((1, n, inner), lambda b, i, g, *_: (b, 0, 1)),
+            pl.BlockSpec((1, n, inner), lambda b, i, g, *_: (b, 0, 2)),
+            pl.BlockSpec((bq, LANES), lambda b, i, g, *_: (i, 0)),  # cs, q rows
+            pl.BlockSpec((bq, LANES), lambda b, i, g, *_: (i, 0)),  # sn, q rows
+            pl.BlockSpec((n, LANES), lambda b, i, g, *_: (0, 0)),   # cs (K)
+            pl.BlockSpec((n, LANES), lambda b, i, g, *_: (0, 0)),   # sn (K)
         ],
-        out_specs=pl.BlockSpec((1, bq, LANES), lambda g, i, *_: (g // hp, i, g % hp)),
+        out_specs=pl.BlockSpec((1, bq, inner), lambda b, i, g, *_: (b, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((n, LANES), qkv.dtype),  # roped K pair, once per pair
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, dh), jnp.float32),
@@ -326,9 +337,9 @@ def _flash_prefix_qkv_call(qkv, lens_b, ropemask, cs, sn, heads: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, n, heads * dh), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, n, inner), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=_INTERPRET,
     )(lens_b, ropemask, qkv, qkv, qkv, cs, sn, cs, sn)

@@ -59,6 +59,22 @@ def test_row_major_tiling_multi_batch():
                                rtol=3e-5, atol=3e-5)
 
 
+def test_int8_matches_int8_reference():
+    from korean_f5_tts_tpu.models.quant import quantize_linear
+
+    h, sc, sh, gate, w1, b1, w2, b2 = _inputs(seed=50)
+    qp_in = quantize_linear({"w": np.asarray(w1), "b": np.asarray(b1)})
+    qp_out = quantize_linear({"w": np.asarray(w2), "b": np.asarray(b2)})
+    got = fb.ff_block_fused_int8(h, sc, sh, gate, qp_in, qp_out, 8)
+    want = fb._xla_reference_int8(h, sc, sh, gate, qp_in, qp_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+    # and the int8 path approximates the fp path to quantization error
+    fp = fb._xla_reference(h, sc, sh, gate, w1, b1, w2, b2)
+    rel = float(jnp.abs(got - fp).max() / (jnp.abs(fp).max() + 1e-9))
+    assert rel < 0.05, rel
+
+
 def test_grad_matches_xla():
     args = _inputs(seed=30)
     w = _rand(args[0].shape, 99)
