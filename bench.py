@@ -22,6 +22,8 @@ BASELINE_RTF = 0.0394  # L20 Triton+TRT-LLM, concurrency 2, 16 NFE
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -45,12 +47,18 @@ def main():
         lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
         init_dit(key, arch),
     )
+    int8_mode = os.environ.get("F5_TTS_BENCH_INT8", "0")
+    if int8_mode != "0":
+        # int8 weight mode (quality tradeoff, reported separately from the
+        # bf16 headline): 1 = FF half-blocks only, 2 = + attention linears
+        from korean_f5_tts_tpu.models.quant import quantize_params
+
+        pats = ((r"ff/in$", r"ff/out$") if int8_mode == "1" else None)
+        params = quantize_params(params, **({"patterns": pats} if pats else {}))
     voc_params = jax.tree_util.tree_map(
         lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
         init_vocos(jax.random.PRNGKey(1), vcfg),
     )
-
-    import os
 
     # 10 s of generated audio conditioned on ~4.6 s of prompt (typical CLI use)
     hop, sr = 256, 24_000

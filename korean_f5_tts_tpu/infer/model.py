@@ -99,6 +99,7 @@ def load_model(
     tokenizer_version: str = "new",
     compute_dtype=None,
     seed: int = 0,
+    quantize: bool | None = None,
 ) -> TTSModel:
     """Build a ready-to-infer TTSModel (utils_infer.py:292-345 role).
 
@@ -129,6 +130,17 @@ def load_model(
         params = jax.tree_util.tree_map(
             lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x, params
         )
+
+    if quantize is None:
+        quantize = os.environ.get("F5_TTS_INT8", "0") != "0"
+    if quantize:
+        # int8 weight quantization (models/quant.py): block linears go to the
+        # {w_int8, w_scale, b} layout; on TPU the FF half-blocks then run the
+        # fused int8 kernel (ops/ff_block.py) with in-kernel dynamic
+        # activation quantization. ~0.35% model output error — opt-in.
+        from korean_f5_tts_tpu.models.quant import quantize_params
+
+        params = quantize_params(params)
 
     return TTSModel(
         params=params,

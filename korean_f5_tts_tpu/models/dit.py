@@ -341,12 +341,14 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
     # blocks that; the FF half (above) wins because XLA does NOT fuse
     # across the two FF matmuls. Kept for the int8 path where the in-kernel
     # quantize changes the tradeoff.
+    use_attn_fused_ok = (
+        on_tpu and m_rows % 256 == 0 and mask is None and cfg.qk_norm is None
+    )
     use_attn_fused = (
         _os.environ.get("F5_TTS_ATTN_LINEAR_FUSED", "0") != "0"
-        and on_tpu and m_rows % 256 == 0 and mask is None
-        and cfg.qk_norm is None
+        and use_attn_fused_ok
     )
-    if use_attn_fused:
+    if use_attn_fused_ok:
         from korean_f5_tts_tpu.models.modules import (
             _merge_heads,
             _split_heads,
@@ -366,17 +368,37 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
             e, 6, axis=-1
         )
         ap = blk["attn"]
-        attn_fusable = use_attn_fused and all(
-            "w" in ap[k_] and "b" in ap[k_] for k_ in ("to_q", "to_k", "to_v", "to_out"))
+        attn_int8 = (use_attn_fused_ok and all(
+            "w_int8" in ap[k_] for k_ in ("to_q", "to_k", "to_v", "to_out")))
+        attn_fusable = attn_int8 or (use_attn_fused and all(
+            "w" in ap[k_] and "b" in ap[k_] for k_ in ("to_q", "to_k", "to_v", "to_out")))
         if attn_fusable:
-            wqkv = jnp.concatenate(
-                [ap["to_q"]["w"], ap["to_k"]["w"], ap["to_v"]["w"]], axis=1
-            ).astype(h.dtype)
-            bqkv = jnp.concatenate(
-                [ap["to_q"]["b"], ap["to_k"]["b"], ap["to_v"]["b"]]
-            ).astype(h.dtype)
-            qkv = ln_mod_matmul(h, scale_msa, shift_msa, wqkv, bqkv)
-            inner = ap["to_q"]["w"].shape[1]
+            if attn_int8:
+                # int8 attention linears: per-projection scales concat into
+                # one per-channel vector; LN prologue + quantize in-kernel
+                from korean_f5_tts_tpu.ops.fused_linears import ln_mod_matmul_int8
+
+                qp_qkv = {
+                    "w_int8": jnp.concatenate(
+                        [ap["to_q"]["w_int8"], ap["to_k"]["w_int8"],
+                         ap["to_v"]["w_int8"]], axis=1),
+                    "w_scale": jnp.concatenate(
+                        [ap["to_q"]["w_scale"], ap["to_k"]["w_scale"],
+                         ap["to_v"]["w_scale"]]),
+                    "b": jnp.concatenate(
+                        [ap["to_q"]["b"], ap["to_k"]["b"], ap["to_v"]["b"]]),
+                }
+                qkv = ln_mod_matmul_int8(h, scale_msa, shift_msa, qp_qkv)
+            else:
+                wqkv = jnp.concatenate(
+                    [ap["to_q"]["w"], ap["to_k"]["w"], ap["to_v"]["w"]], axis=1
+                ).astype(h.dtype)
+                bqkv = jnp.concatenate(
+                    [ap["to_q"]["b"], ap["to_k"]["b"], ap["to_v"]["b"]]
+                ).astype(h.dtype)
+                qkv = ln_mod_matmul(h, scale_msa, shift_msa, wqkv, bqkv)
+            inner = (ap["to_q"]["w_int8"] if attn_int8
+                     else ap["to_q"]["w"]).shape[1]
             q = _split_heads(qkv[..., :inner], cfg.heads)
             k = _split_heads(qkv[..., inner:2 * inner], cfg.heads)
             v = _split_heads(qkv[..., 2 * inner:], cfg.heads)
@@ -385,9 +407,16 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
             from korean_f5_tts_tpu.ops.attention import sdpa
 
             a = _merge_heads(sdpa(q, k, v, pad_mask, prefix_lens=prefix_lens))
-            h = proj_gated_residual(a, h, gate_msa,
-                                    ap["to_out"]["w"].astype(h.dtype),
-                                    ap["to_out"]["b"].astype(h.dtype))
+            if attn_int8:
+                from korean_f5_tts_tpu.ops.fused_linears import (
+                    proj_gated_residual_int8,
+                )
+
+                h = proj_gated_residual_int8(a, h, gate_msa, ap["to_out"])
+            else:
+                h = proj_gated_residual(a, h, gate_msa,
+                                        ap["to_out"]["w"].astype(h.dtype),
+                                        ap["to_out"]["b"].astype(h.dtype))
         else:
             norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
             attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,

@@ -194,8 +194,12 @@ def qkv_fused_sdpa(qkv: jax.Array, heads: int,
     lens = prefix_lens if prefix_lens is not None else jnp.full((1,), n, jnp.int32)
     cos, sin = rope
     try:
+        # bq=128: with K/V regions resident across the whole (i, pair) grid,
+        # a smaller q block only shrinks VMEM (the 16 MB scoped limit binds
+        # at bq=256: q/out double-buffers push the footprint to 16.49 MB)
+        bq = int(os.environ.get("F5_TTS_QKV_BQ", "128"))
         return flash_prefix_qkv_attention(qkv, lens, heads, cos, sin,
-                                          pe_attn_head, _block(n, 256), 512)
+                                          pe_attn_head, _block(n, bq), 512)
     except Exception as e:  # pragma: no cover - hardware-dependent
         _warn_fallback("qkv-prefix-flash", e)
         return None

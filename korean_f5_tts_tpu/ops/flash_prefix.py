@@ -228,7 +228,7 @@ flash_prefix_attention.defvjp(_fp_fwd, _fp_bwd)
 
 def _kernel_qkv(lens_ref, ropemask_ref, q_ref, k_ref, v_ref,
                 csq_ref, snq_ref, csk_ref, snk_ref, o_ref,
-                ma_scr, la_scr, aa_scr, mb_scr, lb_scr, ab_scr,
+                ma_scr, la_scr, aa_scr,
                 *, sm_scale: float, ck: int, hp: int, dh: int):
     """Whole-region fused-layout kernel: attention straight from the fused
     qkv matmul output [B, n, 3*h*dh] with NO transposes and NO separate
@@ -288,12 +288,14 @@ def _kernel_qkv(lens_ref, ropemask_ref, q_ref, k_ref, v_ref,
 
         return read
 
+    # the two halves run sequentially, so they SHARE one scratch set
+    # (out_a is fully read back into registers before half b reinitialises)
     out_a = _softmax_over_chunks(
         qa, k_half(0), v_half(0),
         kvlen, sm_scale, chunks, ma_scr, la_scr, aa_scr, prune=False)
     out_b = _softmax_over_chunks(
         qb, k_half(1), v_half(1),
-        kvlen, sm_scale, chunks, mb_scr, lb_scr, ab_scr, prune=False)
+        kvlen, sm_scale, chunks, ma_scr, la_scr, aa_scr, prune=False)
     out = jnp.concatenate([out_a, out_b], axis=1)
     o_ref[0, :, pl.ds(lane0, W)] = out.astype(o_ref.dtype)
 
@@ -324,9 +326,6 @@ def _flash_prefix_qkv_call(qkv, lens_b, ropemask, cs, sn, heads: int,
         ],
         out_specs=pl.BlockSpec((1, bq, inner), lambda b, i, g, *_: (b, i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, dh), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, dh), jnp.float32),

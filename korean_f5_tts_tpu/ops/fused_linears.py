@@ -98,6 +98,101 @@ def _lmm_bwd(bm, eps, res, g):
 ln_mod_matmul.defvjp(_lmm_fwd, _lmm_bwd)
 
 
+def _quant_rows(y):
+    s = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-6) / 127.0
+    q = jnp.clip(jnp.rint(y / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _ln_mod_matmul_int8_kernel(h_ref, sc_ref, sh_ref, w_ref, ws_ref, b_ref,
+                               o_ref, *, eps):
+    x = h_ref[0].astype(jnp.float32)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=1, keepdims=True)
+    xn = xc * jax.lax.rsqrt(var + eps)
+    y = xn * (1.0 + sc_ref[...].astype(jnp.float32)) + sh_ref[...].astype(jnp.float32)
+    yq, ys = _quant_rows(y)
+    o = jax.lax.dot_general(yq, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * ys * ws_ref[...].astype(jnp.float32)
+    o_ref[0] = (o + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "eps"))
+def ln_mod_matmul_int8(h, sc, sh, qp: dict, bm: int = 256, eps: float = 1e-6):
+    """int8-weight ln_mod_matmul (models/quant.py layout); forward-only."""
+    B, n, d = h.shape
+    w, ws, b = qp["w_int8"], qp["w_scale"], qp["b"]
+    dout = w.shape[1]
+    m = B * n
+    assert m % bm == 0, (m, bm)
+    sc = sc.reshape(-1)[-d:]
+    sh = sh.reshape(-1)[-d:]
+    out = pl.pallas_call(
+        functools.partial(_ln_mod_matmul_int8_kernel, eps=eps),
+        grid_spec=pl.GridSpec(
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((1, bm, d), lambda i: (0, i, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((d, dout), lambda i: (0, 0)),
+                pl.BlockSpec((1, dout), lambda i: (0, 0)),
+                pl.BlockSpec((1, dout), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, dout), lambda i: (0, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, m, dout), h.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(h.reshape(1, m, d), sc.reshape(1, d), sh.reshape(1, d), w,
+      ws.reshape(1, dout), b.reshape(1, dout))
+    return out.reshape(B, n, dout)
+
+
+def _proj_gated_int8_kernel(a_ref, h_ref, gate_ref, w_ref, ws_ref, b_ref, o_ref):
+    a = a_ref[0].astype(jnp.float32)
+    aq, as_ = _quant_rows(a)
+    o = jax.lax.dot_general(aq, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    o = o.astype(jnp.float32) * as_ * ws_ref[...].astype(jnp.float32)
+    o = o + b_ref[...].astype(jnp.float32)
+    out = h_ref[0].astype(jnp.float32) + gate_ref[...].astype(jnp.float32) * o
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm",))
+def proj_gated_residual_int8(a, h, gate, qp: dict, bm: int = 256):
+    """int8-weight proj_gated_residual; forward-only."""
+    B, n, din = a.shape
+    w, ws, b = qp["w_int8"], qp["w_scale"], qp["b"]
+    d = w.shape[1]
+    m = B * n
+    assert m % bm == 0, (m, bm)
+    gate = gate.reshape(-1)[-d:]
+    out = pl.pallas_call(
+        _proj_gated_int8_kernel,
+        grid_spec=pl.GridSpec(
+            grid=(m // bm,),
+            in_specs=[
+                pl.BlockSpec((1, bm, din), lambda i: (0, i, 0)),
+                pl.BlockSpec((1, bm, d), lambda i: (0, i, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((din, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+                pl.BlockSpec((1, d), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, bm, d), lambda i: (0, i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, m, d), h.dtype),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET,
+    )(a.reshape(1, m, din), h.reshape(1, m, d), gate.reshape(1, d), w,
+      ws.reshape(1, d), b.reshape(1, d))
+    return out.reshape(B, n, d)
+
+
 def _proj_gated_kernel(a_ref, h_ref, gate_ref, w_ref, b_ref, o_ref):
     a = a_ref[0]
     o = jax.lax.dot(a, w_ref[...], preferred_element_type=jnp.float32)

@@ -56,6 +56,43 @@ def test_proj_gated_residual():
                                rtol=3e-5, atol=3e-5)
 
 
+def test_int8_variants_match_quant_math():
+    from korean_f5_tts_tpu.models.quant import quantize_linear
+    from korean_f5_tts_tpu.ops.ff_block import _quant_rows
+
+    B, n, d, dout = 1, 16, 128, 256
+    h, sc, sh = _rand((B, n, d), 30), _rand((d,), 31) * 0.1, _rand((d,), 32) * 0.1
+    w, b = _rand((d, dout), 33) * 0.05, _rand((dout,), 34) * 0.1
+    qp = quantize_linear({"w": np.asarray(w), "b": np.asarray(b)})
+    got = fl.ln_mod_matmul_int8(h, sc, sh, qp, 8)
+
+    # reference: same LN then int8 math in XLA
+    y = fl._ln_mod_matmul_xla(h, sc, sh, jnp.eye(d), jnp.zeros((d,)))  # LN+mod only
+    yq, ys = _quant_rows(y.astype(jnp.float32))
+    want = (jax.lax.dot_general(yq, qp["w_int8"], (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32).astype(jnp.float32)
+            * ys * qp["w_scale"] + qp["b"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+    # close to the fp formulation up to quantization error
+    fp = fl._ln_mod_matmul_xla(h, sc, sh, w, b)
+    rel = float(jnp.abs(got - fp).max() / (jnp.abs(fp).max() + 1e-9))
+    assert rel < 0.05, rel
+
+    a, hh = _rand((B, n, dout), 35), _rand((B, n, d), 36)
+    gate = _rand((d,), 37)
+    qp2 = quantize_linear({"w": np.asarray(_rand((dout, d), 38) * 0.05),
+                           "b": np.asarray(_rand((d,), 39) * 0.1)})
+    got2 = fl.proj_gated_residual_int8(a, hh, gate, qp2, 8)
+    aq, as_ = _quant_rows(a.astype(jnp.float32))
+    o = (jax.lax.dot_general(aq, qp2["w_int8"], (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32).astype(jnp.float32)
+         * as_ * qp2["w_scale"] + qp2["b"])
+    want2 = hh + gate * o
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_proj_gated_bf16():
     B, n, din, d = 1, 16, 128, 128
     a = _rand((B, n, din), 16).astype(jnp.bfloat16)
