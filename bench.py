@@ -70,25 +70,39 @@ def main():
         # same generated seconds (isolates the cost of masking)
         cond_len, total_len = n_bucket - (total_len - cond_len), n_bucket
     rng = np.random.default_rng(0)
+    batch = int(os.environ.get("F5_TTS_BENCH_BATCH", "1"))
 
-    cond = jnp.asarray(rng.standard_normal((1, n_bucket, 100)).astype(np.float32)).astype(compute_dtype)
-    cond_mask = np.zeros((1, n_bucket, 1), dtype=bool)
+    cond = jnp.asarray(rng.standard_normal((batch, n_bucket, 100)).astype(np.float32)).astype(compute_dtype)
+    cond_mask = np.zeros((batch, n_bucket, 1), dtype=bool)
     cond_mask[:, :cond_len] = True
     step_cond = jnp.where(jnp.asarray(cond_mask), cond, 0.0)
-    text = jnp.asarray(rng.integers(1, 2545, (1, 160)).astype(np.int32))
-    y0 = jax.random.normal(jax.random.PRNGKey(42), (1, n_bucket, 100), compute_dtype)
+    text = jnp.asarray(rng.integers(1, 2545, (batch, 160)).astype(np.int32))
+    y0 = jax.random.normal(jax.random.PRNGKey(42), (batch, n_bucket, 100), compute_dtype)
 
-    # bucket padding past the requested duration: [1, n] pad_mask — always
-    # masked in attention (shared-segment splash fast path), b==1 so no
-    # reference-semantics duration mask; None when the request fits exactly
-    pad_mask = (jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
-                if total_len < n_bucket else None)
+    if batch > 1:
+        # serving-batch protocol: per-item durations (reference-semantics
+        # [b, n] duration mask -> per-item prefix-flash with pruning)
+        durations = np.linspace(total_len // 2, total_len, batch).astype(np.int64)
+        dur_mask = np.arange(n_bucket)[None, :] < durations[:, None]
+        item_mask = jnp.asarray(dur_mask)
+        y0 = jnp.where(item_mask[..., None], y0, 0.0)
+        pad_mask = (jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
+                    if total_len < n_bucket else None)
+        gen_frames = int((durations - cond_len).sum())
+    else:
+        # bucket padding past the requested duration: [1, n] pad_mask —
+        # always masked in attention, b==1 so no reference-semantics
+        # duration mask; None when the request fits exactly
+        item_mask = None
+        pad_mask = (jnp.asarray(np.arange(n_bucket)[None, :] < total_len)
+                    if total_len < n_bucket else None)
+        gen_frames = total_len - cond_len
 
     skip_vocoder = os.environ.get("F5_TTS_BENCH_NOVOC", "0") != "0"  # attribution A/B
 
     def synthesize(params, voc_params, step_cond, text, y0):
         mel = _sample_core.__wrapped__(
-            params, arch, step_cond, text, None, pad_mask, y0,
+            params, arch, step_cond, text, item_mask, pad_mask, y0,
             jnp.asarray(2.0, compute_dtype), jnp.asarray(-1.0, compute_dtype),
             steps=16, use_cfg=True, use_sway=True, use_epss=True,
         )
@@ -114,12 +128,12 @@ def main():
         float(s)
     dt = (time.perf_counter() - t0) / n_iters
 
-    gen_seconds = (total_len - cond_len) * hop / sr
+    gen_seconds = gen_frames * hop / sr
     rtf = dt / gen_seconds
     print(json.dumps({
         "metric": "rtf_16nfe_f5base_vocos",
         "value": round(rtf, 5),
-        "unit": "rtf (wall s / generated audio s, batch 1)",
+        "unit": f"rtf (wall s / generated audio s, batch {batch})",
         "vs_baseline": round(BASELINE_RTF / rtf, 3),
     }))
 
