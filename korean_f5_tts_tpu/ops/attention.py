@@ -223,7 +223,7 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
-        if (prefix_lens is not None and n % 256 == 0
+        if (prefix_lens is not None
                 and os.environ.get("F5_TTS_UNIFORM_SPLASH", "0") == "0"):
             # prefix-masked attention: own prefix-flash kernel. In-model on
             # v5e (headline protocol): 0.02256 RTF vs shared-segment splash
@@ -235,7 +235,7 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
             uniform = mask is not None and mask.ndim == 2 and mask.shape[0] == 1
             try:
                 bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
-                bq = int(os.environ.get("F5_TTS_PREFIX_BQ", "256"))
+                bq = _block(n, int(os.environ.get("F5_TTS_PREFIX_BQ", "256")))
                 return flash_prefix_attention(q, k, v, prefix_lens,
                                               bq=bq, bkv=bkv, prune=not uniform)
             except Exception as e:  # pragma: no cover - hardware-dependent
