@@ -516,12 +516,23 @@ def attention(p: dict, x: jax.Array, heads: int,
     if "q_norm" in p:
         q = rmsnorm(p["q_norm"], q)
         k = rmsnorm(p["k_norm"], k)
-    if rope is not None:
-        cos, sin = rope
-        q = apply_rope(q, cos, sin, pe_attn_head)
-        k = apply_rope(k, cos, sin, pe_attn_head)
-    out = _merge_heads(
-        scaled_dot_product_attention(q, k, v, attn_mask, prefix_lens=prefix_lens))
+    attn_core = None
+    if rope is not None and "q_norm" not in p:
+        # opt-in TPU path: rope applied in-register inside the prefix-flash
+        # kernel (q/k passed pre-rope; saves the separate rope HBM passes)
+        from korean_f5_tts_tpu.ops.attention import rope_prefix_sdpa
+
+        uniform = attn_mask is not None and attn_mask.shape[0] == 1
+        attn_core = rope_prefix_sdpa(q, k, v, prefix_lens, rope, pe_attn_head,
+                                     uniform)
+    if attn_core is None:
+        if rope is not None:
+            cos, sin = rope
+            q = apply_rope(q, cos, sin, pe_attn_head)
+            k = apply_rope(k, cos, sin, pe_attn_head)
+        attn_core = scaled_dot_product_attention(q, k, v, attn_mask,
+                                                 prefix_lens=prefix_lens)
+    out = _merge_heads(attn_core)
     out = linear(p["to_out"], out)
     if mask is not None:
         out = jnp.where(mask[..., None], out, 0.0)

@@ -205,6 +205,37 @@ def qkv_fused_sdpa(qkv: jax.Array, heads: int,
         return None
 
 
+def rope_prefix_sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
+                     prefix_lens: jax.Array | None,
+                     rope: tuple[jax.Array, jax.Array],
+                     pe_attn_head: int | None,
+                     uniform: bool) -> jax.Array | None:
+    """Try the rope-in-kernel prefix-flash path (q/k arrive PRE-rope).
+
+    Returns None off-TPU / tile-unfriendly shapes — caller applies rope
+    itself and falls through to sdpa(). Opt-in: F5_TTS_ROPE_IN_KERNEL=1."""
+    import os
+
+    if os.environ.get("F5_TTS_ROPE_IN_KERNEL", "0") == "0":
+        return None
+    n, d = q.shape[2], q.shape[3]
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not (on_tpu and splash_enabled() and d in (64, 128) and d % 2 == 0
+            and n % 128 == 0):
+        return None
+    from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_rope_attention
+
+    lens = prefix_lens if prefix_lens is not None else jnp.full((1,), n, jnp.int32)
+    cos, sin = rope
+    try:
+        return flash_prefix_rope_attention(q, k, v, lens, cos, sin,
+                                           pe_attn_head, _block(n, 256), 512,
+                                           prune=not uniform)
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        _warn_fallback("rope-prefix-flash", e)
+        return None
+
+
 def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
          mask: jax.Array | None = None,
          prefix_lens: jax.Array | None = None) -> jax.Array:

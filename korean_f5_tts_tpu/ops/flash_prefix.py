@@ -222,6 +222,143 @@ flash_prefix_attention.defvjp(_fp_fwd, _fp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# rope-in-kernel variant: contiguous [H, n, d] layout, rope in-register
+# ---------------------------------------------------------------------------
+
+
+def _head_rope(x, cs, sn, rope_on, dh):
+    """Half-split rope on a [rows, dh] tile: out = x*cs + swap(x)*sn with
+    cs=[cos||cos], sn=[-sin||sin]; swap rides the MXU as an iota-built
+    permutation dot (pltpu.roll on sub-lane slices crashes Mosaic)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (dh, dh), 1)
+    perm = ((r + dh // 2) % dh == c).astype(x.dtype)
+    swapped = jax.lax.dot(x, perm, preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.where(rope_on > 0, x * cs + swapped * sn, x)
+
+
+def _kernel_rope(kvlen_ref, ropemask_ref, q_ref, k_ref, v_ref,
+                 csq_ref, snq_ref, csk_ref, snk_ref, o_ref,
+                 m_scr, l_scr, acc_scr,
+                 *, sm_scale: float, ck: int, prune: bool):
+    h = pl.program_id(0)
+    kvlen = kvlen_ref[h]
+    rope_on = ropemask_ref[h]
+    n = k_ref.shape[1]
+    dh = q_ref.shape[-1]
+    q = _head_rope(q_ref[0], csq_ref[...], snq_ref[...], rope_on, dh)
+
+    def k_read(start, size):
+        kc = k_ref[0, pl.ds(start, size), :]
+        return _head_rope(kc, csk_ref[pl.ds(start, size), :],
+                          snk_ref[pl.ds(start, size), :], rope_on, dh)
+
+    out = _softmax_over_chunks(
+        q, k_read,
+        lambda s, z: v_ref[0, pl.ds(s, z), :],
+        kvlen, sm_scale, _chunk_plan(n, ck), m_scr, l_scr, acc_scr,
+        prune=prune)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
+def _flash_prefix_rope_call(q, k, v, lens_h, ropemask_h, cs, sn,
+                            sm_scale: float, bq: int, ck: int, prune: bool):
+    H, n, d = q.shape
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(H, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((bq, d), lambda h, i, *_: (i, 0)),   # cs, q rows
+            pl.BlockSpec((bq, d), lambda h, i, *_: (i, 0)),   # sn, q rows
+            pl.BlockSpec((n, d), lambda h, i, *_: (0, 0)),    # cs, all rows (K)
+            pl.BlockSpec((n, d), lambda h, i, *_: (0, 0)),    # sn, all rows (K)
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel_rope, sm_scale=sm_scale, ck=ck, prune=prune)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(lens_h, ropemask_h, q, k, v, cs, sn, cs, sn)
+
+
+def _xla_rope_prefix_reference(q, k, v, kv_lens, cos, sin, pe_attn_head):
+    from korean_f5_tts_tpu.models.modules import apply_rope
+
+    n = q.shape[2]
+    qr = apply_rope(q, cos[:n], sin[:n], pe_attn_head)
+    kr = apply_rope(k, cos[:n], sin[:n], pe_attn_head)
+    lens = kv_lens.astype(jnp.int32)
+    if lens.shape[0] == 1 and q.shape[0] > 1:
+        lens = jnp.broadcast_to(lens, (q.shape[0],))
+    return _xla_prefix_attention(qr, kr, v, lens)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def flash_prefix_rope_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                                kv_lens: jax.Array,
+                                cos: jax.Array, sin: jax.Array,
+                                pe_attn_head: int | None = None,
+                                bq: int = 256, bkv: int = 512,
+                                prune: bool = False) -> jax.Array:
+    """Prefix attention with half-split rope applied IN-KERNEL (pre-rope q/k
+    in, contiguous [b, h, n, d] layout) — the separate rope HBM passes on q
+    and k never materialise. K chunks are re-roped per q-block from VMEM (a
+    few MXU FLOPs, far cheaper than an HBM pass)."""
+    b, h, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    lens = kv_lens.astype(jnp.int32)
+    if lens.shape[0] == 1 and b > 1:
+        lens = jnp.broadcast_to(lens, (b,))
+    lens_h = jnp.repeat(lens, h)
+    n_rope = h if pe_attn_head is None else pe_attn_head
+    ropemask = jnp.tile((jnp.arange(h) < n_rope).astype(jnp.int32), b)
+    cs = jnp.concatenate([cos[:n], cos[:n]], axis=-1).astype(q.dtype)
+    sn = jnp.concatenate([-sin[:n], sin[:n]], axis=-1).astype(q.dtype)
+    out = _flash_prefix_rope_call(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d),
+        lens_h, ropemask, cs, sn, scale, bq, bkv, prune)
+    return out.reshape(b, h, n, d)
+
+
+def _fpr_fwd(q, k, v, kv_lens, cos, sin, pe_attn_head, bq, bkv, prune):
+    out = flash_prefix_rope_attention(q, k, v, kv_lens, cos, sin,
+                                      pe_attn_head, bq, bkv, prune)
+    return out, (q, k, v, kv_lens, cos, sin)
+
+
+def _fpr_bwd(pe_attn_head, bq, bkv, prune, res, g):
+    q, k, v, kv_lens, cos, sin = res
+    _, vjp = jax.vjp(
+        lambda a, b_, c: _xla_rope_prefix_reference(a, b_, c, kv_lens, cos,
+                                                    sin, pe_attn_head),
+        q, k, v)
+    dq, dk, dv = vjp(g)
+    import numpy as np
+
+    return (dq, dk, dv, np.zeros(kv_lens.shape, jax.dtypes.float0),
+            jnp.zeros_like(cos), jnp.zeros_like(sin))
+
+
+flash_prefix_rope_attention.defvjp(_fpr_fwd, _fpr_bwd)
+
+
+# ---------------------------------------------------------------------------
 # fused-layout variant: attention straight from the qkv projection output
 # ---------------------------------------------------------------------------
 

@@ -170,6 +170,23 @@ def test_qkv_fused_grad():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("pe_attn_head", [None, 1])
+def test_rope_in_kernel_matches_reference(pe_attn_head):
+    from korean_f5_tts_tpu.models.modules import rope_cos_sin
+
+    b, h, n, d = 2, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 60), _rand((b, h, n, d), 61), _rand((b, h, n, d), 62)
+    cos, sin = rope_cos_sin(n, d)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+    kv_lens = jnp.asarray([200, 256], jnp.int32)
+    got = fp.flash_prefix_rope_attention(q, k, v, kv_lens, cos, sin,
+                                         pe_attn_head, 128, 128, False)
+    want = fp._xla_rope_prefix_reference(q, k, v, kv_lens, cos, sin, pe_attn_head)
+    for i, L in enumerate([200, 256]):
+        np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                   np.asarray(want)[i, :, :L], rtol=2e-5, atol=2e-5)
+
+
 def test_grad_matches_xla():
     # training path: custom_vjp backward == differentiating the XLA reference
     b, h, n, d = 1, 2, 256, 64
