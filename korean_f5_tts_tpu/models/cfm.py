@@ -41,7 +41,13 @@ def _default_duration_bucket() -> int:
 
     env = _os.environ.get("F5_TTS_DURATION_BUCKET")
     if env:
-        return int(env)
+        try:
+            v = int(env)
+        except ValueError as e:  # fail at config time, not deep inside sampling
+            raise ValueError(f"F5_TTS_DURATION_BUCKET must be an integer, got {env!r}") from e
+        if v < 1:
+            raise ValueError(f"F5_TTS_DURATION_BUCKET must be >= 1, got {v}")
+        return v
     import jax as _jax
 
     return 512 if _jax.default_backend() not in ("cpu", "gpu") else 128

@@ -20,6 +20,7 @@ Conventions:
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -466,7 +467,12 @@ def attention(p: dict, x: jax.Array, heads: int,
 
     mask: the reference-semantics duration mask — applied to attention logits
     only when attn_mask_enabled (modules.py:500-506); always applied to the
-    output rows (modules.py:540-543).
+    output rows (modules.py:540-543). CONTRACT: any [b, n] mask passed here
+    must be a PREFIX mask (mask[i] == arange(n) < lens[i]) — every mask the
+    framework produces is one (lens_to_mask / bucket tails), and the TPU
+    path compresses it to one length per item for the prefix-flash kernel,
+    which would silently mis-attend on a non-prefix (holey) mask. Set
+    F5_TTS_CHECK_PREFIX_MASK=1 to assert the contract at trace time.
     pad_mask ([1, n]): bucket-tail padding introduced by this framework's
     shape bucketing. The reference never pads these rows, so they must be
     invisible to attention logits REGARDLESS of attn_mask_enabled; being
@@ -481,6 +487,19 @@ def attention(p: dict, x: jax.Array, heads: int,
     # describes them — the TPU prefix-flash kernels run masked attention at
     # unmasked speed instead of falling back to materialised [n, n] logits
     prefix_lens = attn_mask.sum(axis=-1, dtype=jnp.int32) if attn_mask is not None else None
+    if (prefix_lens is not None and os.environ.get("F5_TTS_CHECK_PREFIX_MASK") == "1"
+            and not isinstance(attn_mask, jax.core.Tracer)):
+        # debug guard for the prefix-mask contract (see docstring): a holey
+        # mask has the same sum as a prefix mask but differs from
+        # arange(n) < lens. Eager-only — under jit the mask is a tracer and
+        # can't be validated without a host callback.
+        import numpy as _np
+        m = _np.asarray(attn_mask, dtype=bool)
+        lens = m.sum(axis=-1)
+        expect = _np.arange(m.shape[-1])[None, :] < lens[:, None]
+        if not _np.array_equal(expect, m):
+            raise ValueError("attention(): non-prefix [b,n] mask passed; the TPU "
+                             "prefix-flash path would silently mis-attend")
     fused_qkv = all("w" in p[k] and "b" in p[k] for k in ("to_q", "to_k", "to_v"))
     qkv = None
     if fused_qkv:

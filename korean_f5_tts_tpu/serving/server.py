@@ -84,14 +84,26 @@ class TTSService:
         return (bucket << 18) | (gid & 0x3FFFF)
 
     def submit(self, payload: dict) -> _Pending:
+        # cap the reference at 12 s (the reference preprocessing's clip,
+        # utils_infer.py:388-415): an unclipped long ref leaves no frame
+        # budget for generation under max_duration and drives the gen
+        # length negative (found by a 60 s-ref serving drive)
+        if payload.get("ref_wav") is not None and payload.get("sr"):
+            cap = 12 * int(payload["sr"])
+            if np.asarray(payload["ref_wav"]).shape[-1] > cap:
+                payload["ref_wav"] = np.asarray(payload["ref_wav"])[..., :cap]
         with self.lock:
             self.counter += 1
             rid = self.counter
             item = _Pending(payload)
             self.pending[rid] = item
-        # bucket by estimated duration so batches share one compiled shape
-        est = payload.get("_duration_frames", 1024)
-        bucket = int(np.ceil(est / 128) * 128)
+        # bucket by estimated duration so batches share one compiled shape.
+        # Clamp to the engine cap BEFORE bucketing: an oversized estimate
+        # would otherwise shift past the 13 bits reserved in _batch_key
+        # (round-2 ADVICE) — the sampler clamps durations to max_duration
+        # anyway, so the oversized bucket could never be used.
+        est = max(1, int(payload.get("_duration_frames", 1024)))
+        bucket = int(np.ceil(min(est, self.max_duration) / 128) * 128)
         self.batcher.submit(rid, self._batch_key(payload, bucket))
         return item
 
@@ -154,6 +166,11 @@ class TTSService:
                 wav = wav * (target_rms / r)
             if p["sr"] != target_sample_rate:
                 wav = au.resample(wav, p["sr"], target_sample_rate)
+            # cap the reference at 12 s (the reference preprocessing's clip,
+            # utils_infer.py:388-415): an unclipped long ref would otherwise
+            # leave no frame budget for generation under max_duration and
+            # drive gen_len negative (found by a 60 s-ref serving drive)
+            wav = wav[: 12 * target_sample_rate]
             mel = self.model.mel_of_wav(wav)
             mels.append(mel)
             ref_text = p["ref_text"]

@@ -67,3 +67,54 @@ class TestSubsetHours:
         assert abs(sum(d1) - 1800) <= 36
         r3, _ = subset_by_hours(rows, durs, hours=0.5, seed=2)
         assert r1 != r3
+
+
+class TestAdviceRound2Fixes:
+    def test_duration_bucket_env_validated(self, monkeypatch):
+        from korean_f5_tts_tpu.models.cfm import _default_duration_bucket
+
+        monkeypatch.setenv("F5_TTS_DURATION_BUCKET", "0")
+        with pytest.raises(ValueError):
+            _default_duration_bucket()
+        monkeypatch.setenv("F5_TTS_DURATION_BUCKET", "banana")
+        with pytest.raises(ValueError):
+            _default_duration_bucket()
+        monkeypatch.setenv("F5_TTS_DURATION_BUCKET", "256")
+        assert _default_duration_bucket() == 256
+
+    def test_prefix_mask_debug_guard(self, monkeypatch):
+        import jax.numpy as jnp
+        from korean_f5_tts_tpu.models.modules import attention
+
+        monkeypatch.setenv("F5_TTS_CHECK_PREFIX_MASK", "1")
+        rng = np.random.default_rng(0)
+        dim, heads, n = 32, 2, 8
+        p = {
+            name: {"w": rng.standard_normal((dim, dim)).astype(np.float32) * 0.05,
+                   "b": np.zeros(dim, np.float32)}
+            for name in ("to_q", "to_k", "to_v", "to_out")
+        }
+        x = rng.standard_normal((1, n, dim)).astype(np.float32)
+        holey = np.ones((1, n), bool)
+        holey[0, 3] = False  # same sum as a prefix of 7 but not a prefix
+        with pytest.raises(ValueError, match="non-prefix"):
+            attention(p, jnp.asarray(x), heads, mask=jnp.asarray(holey))
+        ok = np.arange(n)[None, :] < 6
+        attention(p, jnp.asarray(x), heads, mask=jnp.asarray(ok))
+
+    def test_server_bucket_clamped(self):
+        from korean_f5_tts_tpu.serving.server import TTSService
+
+        svc = TTSService.__new__(TTSService)  # no model; exercise submit's bucket math only
+        svc.max_duration = 4096
+        svc.nfe_step = 16
+        svc.lock = __import__("threading").Lock()
+        svc.param_groups = {}
+        svc.pending = {}
+        svc.counter = 0
+        seen = {}
+        svc.batcher = type("B", (), {"submit": lambda self, rid, key: seen.update(key=key)})()
+        svc.submit({"_duration_frames": 10**9})
+        key = seen["key"]
+        assert 0 < key < 2**31  # no int32 overflow: bucket clamped to max_duration
+        assert (key >> 18) <= svc.max_duration

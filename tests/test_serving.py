@@ -237,3 +237,25 @@ class TestBatchKeyGrouping:
         k4 = svc._batch_key({"nfe_step": 16, "seed": 1}, 512)
         assert k1 == k3
         assert len({k1, k2, k4}) == 3
+
+
+class TestLongRefClip:
+    def test_60s_ref_is_clipped_and_served(self, tiny_server):
+        # pre-round-3 this drove the gen length negative (no ref clip in
+        # serving; reference preprocessing clips refs to <=12 s)
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(60 * sr) / sr)).astype(np.float32)
+        buf = io.BytesIO()
+        from scipy.io import wavfile
+
+        wavfile.write(buf, sr, (ref * 32767).astype(np.int16))
+        with TestHTTPServer._post(TestHTTPServer(), tiny_server["port"], {
+            "reference_audio": base64.b64encode(buf.getvalue()).decode(),
+            "reference_text": "hello there friend",
+            "target_text": "a generated sentence.",
+            "nfe_step": 2,
+        }) as resp:
+            body = resp.read()
+        assert resp.status == 200
+        sr2, data = wavfile.read(io.BytesIO(body))
+        assert data.shape[0] > 0
