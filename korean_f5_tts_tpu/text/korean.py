@@ -102,11 +102,12 @@ def _convert_allophone_impl(
     apply_coda: bool = True,
     coda_filter: list[str] | None = None,
     initial_filter: list[str] | None = None,
+    pre_g2p: bool = False,
 ) -> list[list[str]]:
     final = []
     for text in text_list:
         result: list[str] = []
-        for eojeol in _pronunciation_to_eojeols(g2p(text)):
+        for eojeol in _pronunciation_to_eojeols(text if pre_g2p else g2p(text)):
             for i, syllable in enumerate(eojeol):
                 result.extend(
                     classify_into_allophones(
@@ -296,4 +297,51 @@ KOREAN_CONVERTERS: dict[str, Callable[[list[str]], list[list[str]]]] = {
     ),
     "kor_no_ieung_g2p": convert_char_to_no_ieung_g2p,
     "kor_no_ieung_raw": convert_char_to_no_ieung_raw,
+}
+
+
+# -- pronunciation-input ("salt") converters ---------------------------------
+# CoreaSpeech ships a pre-G2P pronunciation column; these decompose it
+# directly without running g2p() first (the whole point: the corpus carries
+# human/ASR-verified pronunciations). Reference:
+# prepare_coreaspeech_salt_n.py:30-50 and prepare_coreaspeech_salt_vcp.py:35-54.
+
+
+def convert_pronunciation_to_salt_n(
+    text_list: list[str], use_skip_tc: bool = False, legacy: bool = False
+) -> list[list[str]]:
+    """salt-n: nasal-coda allophones only (coda_filter=PHONEMES_N), no
+    word-initial or palatalisation marks, on pre-G2P pronunciation text."""
+    return _convert_allophone_impl(
+        text_list,
+        add_empty_jong=use_skip_tc,
+        skip_tc_token="" if legacy else SKIPTC_TOKEN,
+        apply_init=False,
+        apply_pal=False,
+        apply_coda=True,
+        coda_filter=PHONEMES_N,
+        pre_g2p=True,
+    )
+
+
+def convert_pronunciation_to_salt_vcp(
+    text_list: list[str], use_skip_tc: bool = False, legacy: bool = False
+) -> list[list[str]]:
+    """salt-vcp: full i/c/p allophone marks (init+pal+all codas) on pre-G2P
+    pronunciation text."""
+    return _convert_allophone_impl(
+        text_list,
+        add_empty_jong=use_skip_tc,
+        skip_tc_token="" if legacy else SKIPTC_TOKEN,
+        apply_init=True,
+        apply_pal=True,
+        apply_coda=True,
+        coda_filter=None,
+        pre_g2p=True,
+    )
+
+
+PRONUNCIATION_CONVERTERS: dict[str, Callable[..., list[list[str]]]] = {
+    "kor_salt_n": convert_pronunciation_to_salt_n,
+    "kor_salt_vcp": convert_pronunciation_to_salt_vcp,
 }

@@ -220,8 +220,26 @@ def read_wenetspeech4tts_corpus(root: str) -> list[dict]:
     return rows
 
 
+def read_coreaspeech_corpus(root: str, metadata: str = "metadata_train.txt") -> list[dict]:
+    """CoreaSpeech metadata rows `rel_path|text|norm|pronunciation`: the 4th
+    column is a pre-G2P pronunciation string (prepare_coreaspeech_salt_n.py
+    reads index 3). Rows keep BOTH the display text and the pronunciation so
+    salt modes can decompose without g2p."""
+    rows = []
+    with open(os.path.join(root, metadata), "r", encoding="utf-8") as f:
+        for line in f:
+            rec = line.rstrip("\n").split("|")
+            if len(rec) < 4:
+                continue
+            rows.append({"audio_path": os.path.join(root, rec[0]),
+                         "text": rec[1].strip(),
+                         "pronunciation": rec[3].strip()})
+    return rows
+
+
 READERS = {
     "csv": read_csv_corpus,
+    "coreaspeech": read_coreaspeech_corpus,
     "kss": read_kss_corpus,
     "jsonl": read_jsonl_corpus,
     "emilia": read_emilia_corpus,
@@ -237,6 +255,21 @@ READERS = {
 def tokenize_rows(rows: list[dict], tokenizer: str, use_n2gk_plus: bool = False,
                   use_skip_tc: bool = False, legacy: bool = False) -> list[dict]:
     """Attach `tokens` per row; `char`/`pinyin` keep the raw text."""
+    from korean_f5_tts_tpu.text.korean import PRONUNCIATION_CONVERTERS
+
+    if tokenizer in PRONUNCIATION_CONVERTERS:
+        # salt modes decompose the corpus's pre-G2P pronunciation column
+        # (no g2p, no n2gk — the column is already pronounced text)
+        texts = [r.get("pronunciation", r["text"]) for r in rows]
+        token_lists = PRONUNCIATION_CONVERTERS[tokenizer](
+            texts, use_skip_tc=use_skip_tc, legacy=legacy)
+        out = []
+        for row, toks in zip(rows, token_lists):
+            r = dict(row)
+            r["tokens"] = toks
+            r["text"] = "".join(toks)
+            out.append(r)
+        return out
     texts = [r["text"] for r in rows]
     if use_n2gk_plus:
         texts = [normalize_n2gk_plus(t) for t in texts]
