@@ -202,6 +202,63 @@ def convert_unett_state_dict(sd: dict, heads: int, dim_head: int, depth: int,
     }
 
 
+def convert_mmdit_state_dict(sd: dict, heads: int, dim_head: int, depth: int) -> dict:
+    """Reference MMDiT state_dict -> this framework's param pytree.
+
+    Name map per /root/reference/src/f5_tts/model/backbones/mmdit.py:85-143 and
+    MMDiTBlock at modules.py:703-771. Both streams' q/k projections (and
+    qk-norm gains) take the interleaved->half-split rope column permutation,
+    since the joint attention ropes x AND c queries/keys."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    blocks = []
+    for i in range(depth):
+        pre = f"transformer_blocks.{i}"
+        context_pre_only = i == depth - 1
+        attn = {
+            "to_q": _permute_qk(_lin(sd, f"{pre}.attn.to_q"), heads, dim_head),
+            "to_k": _permute_qk(_lin(sd, f"{pre}.attn.to_k"), heads, dim_head),
+            "to_v": _lin(sd, f"{pre}.attn.to_v"),
+            "to_out": _lin(sd, f"{pre}.attn.to_out.0"),
+            "to_q_c": _permute_qk(_lin(sd, f"{pre}.attn.to_q_c"), heads, dim_head),
+            "to_k_c": _permute_qk(_lin(sd, f"{pre}.attn.to_k_c"), heads, dim_head),
+            "to_v_c": _lin(sd, f"{pre}.attn.to_v_c"),
+        }
+        if f"{pre}.attn.q_norm.weight" in sd:
+            perm = _rope_perm(dim_head)
+            attn["q_norm"] = {"g": sd[f"{pre}.attn.q_norm.weight"][perm]}
+            attn["k_norm"] = {"g": sd[f"{pre}.attn.k_norm.weight"][perm]}
+            attn["c_q_norm"] = {"g": sd[f"{pre}.attn.c_q_norm.weight"][perm]}
+            attn["c_k_norm"] = {"g": sd[f"{pre}.attn.c_k_norm.weight"][perm]}
+        if not context_pre_only:
+            attn["to_out_c"] = _lin(sd, f"{pre}.attn.to_out_c")
+        blk = {
+            "attn_norm_x": {"linear": _lin(sd, f"{pre}.attn_norm_x.linear")},
+            "attn_norm_c": {"linear": _lin(sd, f"{pre}.attn_norm_c.linear")},
+            "attn": attn,
+            "ff_x": {"in": _lin(sd, f"{pre}.ff_x.ff.0.0"),
+                     "out": _lin(sd, f"{pre}.ff_x.ff.2")},
+        }
+        if not context_pre_only:
+            blk["ff_c"] = {"in": _lin(sd, f"{pre}.ff_c.ff.0.0"),
+                           "out": _lin(sd, f"{pre}.ff_c.ff.2")}
+        blocks.append(blk)
+    return {
+        "time_embed": {
+            "mlp1": _lin(sd, "time_embed.time_mlp.0"),
+            "mlp2": _lin(sd, "time_embed.time_mlp.2"),
+        },
+        "text_embed": {"embed": {"w": sd["text_embed.text_embed.weight"]}},
+        "audio_proj": _lin(sd, "audio_embed.linear"),
+        "conv_pos_embed": {
+            "conv1": _conv(sd, "audio_embed.conv_pos_embed.conv1d.0"),
+            "conv2": _conv(sd, "audio_embed.conv_pos_embed.conv1d.2"),
+        },
+        "blocks": blocks,
+        "norm_out": {"linear": _lin(sd, "norm_out.linear")},
+        "proj_out": _lin(sd, "proj_out"),
+    }
+
+
 def convert_vocos_state_dict(sd: dict, num_layers: int = 8) -> dict:
     """charactr/vocos-mel-24khz state_dict -> vocos param pytree."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
