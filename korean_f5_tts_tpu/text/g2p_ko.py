@@ -79,12 +79,17 @@ _EXCEPTIONS = [
     ("멋있", "머싯"),
     ("맛없", "마덥"),  # 15항: 받침 + 실질형태소 모음 (맛없다[마덥따])
     ("멋없", "머덥"),
-    ("밟", "밥"),  # 10항 다만: 밟다[밥따], 밟는[밤는]
     ("넓죽", "넙죽"),
     ("넓둥", "넙둥"),
+    # -- 15항: 받침 + 실질형태소 모음은 대표음으로 연음 ---------------------
+    ("겉옷", "거돗"),
+    ("헛웃음", "허두슴"),
+    ("웃어른", "우더른"),
+    ("값어치", "가버치"),
+    ("짓이기", "진니기"),  # + 29항 ㄴ첨가
     # -- 29항 ㄴ첨가 compounds --------------------------------------------
-    ("꽃잎", "꼰닙"),
-    ("나뭇잎", "나문닙"),
+    ("꽃잎", "꼰닢"),
+    ("나뭇잎", "나문닢"),
     ("솜이불", "솜니불"),
     ("홑이불", "홑니불"),
     ("색연필", "색년필"),
@@ -106,13 +111,25 @@ _EXCEPTIONS = [
     ("영업용", "영업뇽"),
     ("국민윤리", "국민뉸리"),
     ("들일", "들닐"),
-    ("솔잎", "솔닙"),
+    ("솔잎", "솔닢"),
     ("설익", "설닉"),
     ("불여우", "불녀우"),
     ("서울역", "서울녁"),
     ("물엿", "물녓"),
     ("휘발유", "휘발뉴"),
     ("유들유들", "유들뉴들"),
+    ("한입", "한닙"),
+    ("콩잎", "콩닢"),
+    ("깻잎", "깬닢"),
+    ("첫여름", "첟녀름"),
+    ("풀잎", "풀닢"),
+    ("두통약", "두통냑"),
+    ("눈약", "눈냑"),
+    ("밭일", "받닐"),
+    ("부엌일", "부억닐"),
+    ("앞일", "압닐"),
+    ("옛일", "옌닐"),
+    ("헛일", "헌닐"),
     # -- 20항 다만: ㄴ+ㄹ -> ㄴㄴ (유음화 blocked) --------------------------
     ("의견란", "의견난"),
     ("임진란", "임진난"),
@@ -148,11 +165,68 @@ _EXCEPTIONS = [
     ("결정", "결쩡"),
     ("밀도", "밀또"),
     ("솔직", "솔찍"),
+    ("발생", "발쌩"),
+    ("결석", "결썩"),
+    ("출석", "출썩"),
+    ("발상", "발쌍"),
+    ("일단", "일딴"),
+    ("발사", "발싸"),
+    ("발주", "발쭈"),
+    ("활동", "활똥"),
+    ("열등", "열뜽"),
+    ("달성", "달썽"),
+    # lexical 한자어 경음화 beyond ㄹ-coda (사건[사껀], -성 after ㄴ/ㅇ)
+    ("사건", "사껀"),
+    ("가능성", "가능썽"),
+    ("안정성", "안정썽"),
+    ("정체성", "정체썽"),
+    # -- 28항: 관형격 기능 합성어 경음화 (regulation's own examples + a few
+    #    high-frequency compounds; needs compound-boundary knowledge in
+    #    general — lexicalized here) ----------------------------------------
+    ("문고리", "문꼬리"),
+    ("눈동자", "눈똥자"),
+    ("신바람", "신빠람"),
+    ("산새", "산쌔"),
+    ("손재주", "손째주"),
+    ("길가", "길까"),
+    ("물동이", "물똥이"),
+    ("발바닥", "발빠닥"),
+    ("굴속", "굴쏙"),
+    ("술잔", "술짠"),
+    ("바람결", "바람껼"),
+    ("그믐달", "그믐딸"),
+    ("아침밥", "아침빱"),
+    ("강가", "강까"),
+    ("초승달", "초승딸"),
+    ("등불", "등뿔"),
+    ("창살", "창쌀"),
+    ("강줄기", "강쭐기"),
+    ("보름달", "보름딸"),
+    ("말솜씨", "말쏨씨"),
+    ("물가", "물까"),
+    ("밤길", "밤낄"),
+    ("손등", "손뜽"),
+    ("눈빛", "눈삗"),
+    ("물살", "물쌀"),
+    ("봄바람", "봄빠람"),
 ]
 
 # ㄺ-final VERB stems: 어간 말음 ㄺ은 ㄱ 앞에서 [ㄹ] (11항 다만 — verbs only;
 # nouns keep [ㄱ]: 흙과[흑꽈] vs 맑게[말께])
-_LG_VERB_STEM_SYLLABLES = {"맑", "묽", "얽", "늙", "밝", "굵", "낡", "붉", "갉", "긁"}
+_LG_VERB_STEM_SYLLABLES = {"맑", "묽", "얽", "늙", "밝", "굵", "낡", "붉", "갉", "긁", "읽"}
+
+# 24항: VERB stems ending in ㄴ/ㅁ tense a following plain onset (신고[신꼬],
+# 안다[안따], 감고[감꼬]). POS-dependent in general (noun 신고(申告)[신고]);
+# approximated with a high-frequency unambiguous stem list + ending whitelist,
+# applied only when the ending closes the eojeol (so noun compounds like
+# 신고했다 / 신고서 stay plain). 피동/사동 -기- is exempt per the 다만 clause
+# (안기다/감기다[감기다]), so 기 is never in the ending list.
+_VERB_NM_STEMS = {"신", "안", "감", "담", "넘", "남", "삼", "참", "품", "숨",
+                  "심", "검", "더듬", "다듬", "머금", "서슴"}
+_VERB_TENSE_ENDINGS = {"고", "게", "다", "지", "자", "던", "소"}
+# 24항 다만: 사동 접미사 -기- (굶기다[굼기다], 옮기다[옴기다]) — these ㄻ-stem
+# causatives must NOT ride the ㄵ/ㄻ/ㄼ/ㄾ cluster tensification below
+_LM_CAUSATIVE_SYLLABLES = {"굶", "옮"}
 
 
 def _split_eojeols(text: str) -> list[str]:
@@ -260,10 +334,47 @@ def _apply_tensification(syls: list) -> None:
             continue
         neutral = _CODA_NEUTRAL.get(a.jong, a.jong)
         if a.jong in _SONORANT_TENSE_CODAS:
+            # 24항 다만: ㄻ-stem causatives in -기- stay plain (굶기다[굼기다])
+            if (compose(a.cho, a.jung, a.jong) in _LM_CAUSATIVE_SYLLABLES
+                    and b.cho == "ㄱ" and b.jung == "ㅣ" and not b.jong):
+                continue
             if b.cho in ("ㄱ", "ㄷ", "ㅅ", "ㅈ"):
                 b.cho = _TENSE[b.cho]
         elif neutral in ("ㄱ", "ㄷ", "ㅂ") and a.jong != "ㅎ":
             b.cho = _TENSE[b.cho]
+
+
+def _apply_verb_nm_tensification(syls: list) -> None:
+    """24항 heuristic: known ㄴ/ㅁ-final verb stems tense a following plain
+    ending when that ending closes the eojeol (신고[신꼬], 감고[감꼬]) or is
+    -습(니다) (참습니다[참씀니다]). See _VERB_NM_STEMS for limitations."""
+    for i, j in _adjacent_pairs(syls):
+        a, b = syls[i], syls[j]
+        if a.jong not in ("ㄴ", "ㅁ") or b.cho not in _TENSE:
+            continue
+        stem = compose(a.cho, a.jung, a.jong)
+        two = (compose(syls[i - 1].cho, syls[i - 1].jung, syls[i - 1].jong) + stem
+               if i > 0 and isinstance(syls[i - 1], _Syl) else "")
+        if stem not in _VERB_NM_STEMS and two not in _VERB_NM_STEMS:
+            continue
+        ending = compose(b.cho, b.jung, b.jong)
+        is_last = j == len(syls) - 1 or not isinstance(syls[j + 1], _Syl)
+        if ending in _VERB_TENSE_ENDINGS and is_last:
+            b.cho = _TENSE[b.cho]
+        elif (b.cho == "ㅅ" and b.jung == "ㅡ" and b.jong == "ㅂ"
+              and not is_last and syls[j + 1].cho == "ㄴ"):
+            b.cho = "ㅆ"  # -습니다
+
+
+def _apply_balb_coda(syls: list) -> None:
+    """10항 다만: 밟- is [밥] before a consonant (밟다[밥따], 밟는[밤는]) but
+    keeps ㄼ liaison before vowels (밟아[발바])."""
+    for i, s in enumerate(syls):
+        if not isinstance(s, _Syl) or (s.cho, s.jung, s.jong) != ("ㅂ", "ㅏ", "ㄼ"):
+            continue
+        nxt = syls[i + 1] if i + 1 < len(syls) else None
+        if not isinstance(nxt, _Syl) or nxt.cho != "ㅇ":
+            s.jong = "ㅂ"
 
 
 def _apply_liquidization(syls: list) -> None:
@@ -303,6 +414,8 @@ def _apply_vowel_rules(syls: list) -> None:
 
 
 _RULES = [
+    _apply_balb_coda,
+    _apply_verb_nm_tensification,
     _apply_palatalization,
     _apply_h_coda_rules,
     _apply_onset_h_aspiration,

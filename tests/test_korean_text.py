@@ -226,3 +226,22 @@ class TestG2PGoldenFile:
         assert known, "divergence section must stay documented"
         surprises = [(t, w) for t, w in known if g2p(t) == w]
         assert not surprises, f"promote to goldens: {surprises}"
+
+
+class TestG2PCorpusAudit:
+    def test_corpus_sample_divergence_rate(self):
+        """Corpus-style stratified audit (scripts/g2p_corpus_audit.py):
+        per-class divergence pinned; only the cross-eojeol 15항 case (꽃 위)
+        remains — eojeol-internal classes must stay at zero."""
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "g2p_corpus_audit",
+            os.path.join(os.path.dirname(__file__), "..", "scripts",
+                         "g2p_corpus_audit.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mismatches, total = mod.main()
+        assert total >= 150
+        assert mismatches <= 1, mismatches

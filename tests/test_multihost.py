@@ -111,3 +111,98 @@ def _free_port() -> int:
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+_SAMPLER_WORKER = r"""
+import os, sys, json
+rank = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["F5_TTS_DIST_COORDINATOR"] = f"localhost:{port}"
+os.environ["F5_TTS_DIST_NUM_PROCESSES"] = "2"
+os.environ["F5_TTS_DIST_PROCESS_ID"] = str(rank)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from korean_f5_tts_tpu.parallel.distributed import maybe_initialize_distributed
+assert maybe_initialize_distributed() is True
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+from korean_f5_tts_tpu.config import DiTConfig
+from korean_f5_tts_tpu.models.cfm import cfm_sample
+from korean_f5_tts_tpu.models.dit import init_dit
+from korean_f5_tts_tpu.parallel.mesh import make_mesh, shard_params
+
+cfg = DiTConfig(dim=32, depth=2, heads=4, dim_head=8, ff_mult=2, mel_dim=10,
+                text_num_embeds=20, text_dim=16, conv_layers=1, dropout=0.0)
+params = init_dit(jax.random.PRNGKey(0), cfg)
+params["proj_out"]["w"] = jax.random.normal(
+    jax.random.PRNGKey(1), params["proj_out"]["w"].shape) * 0.05
+
+rng = np.random.default_rng(0)  # identical on both ranks
+cond_np = rng.standard_normal((2, 16, 10)).astype(np.float32)
+text_np = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.int32)
+
+# single-device reference on this rank's local device (no sharding)
+ref, _ = cfm_sample(params, cfg, jnp.asarray(cond_np), jnp.asarray(text_np),
+                    duration=32, steps=2, cfg_strength=2.0, seed=0,
+                    duration_bucket=8)
+ref = np.asarray(ref)
+
+# dp=2 (across processes) x tp=2 (within-process): batch item r lives on rank r
+mesh = make_mesh(n_data=2, n_model=2)
+with mesh:
+    sp = shard_params(init_dit(jax.random.PRNGKey(0), cfg), mesh)
+    sp["proj_out"]["w"] = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P()), np.asarray(params["proj_out"]["w"]))
+    cond = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), cond_np[rank:rank + 1])
+    text = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), text_np[rank:rank + 1])
+    mel, _ = cfm_sample(sp, cfg, cond, text, duration=32, steps=2,
+                        cfg_strength=2.0, seed=0, duration_bucket=8)
+    got = np.asarray(multihost_utils.process_allgather(mel, tiled=True))
+
+mae = float(np.mean(np.abs(got - ref)))
+print("RESULT " + json.dumps({"rank": rank, "mae": mae,
+                              "finite": bool(np.isfinite(got).all())}), flush=True)
+"""
+
+
+def test_two_process_sampler_parity(tmp_path):
+    """dp2 x tp2 over 2 processes: sampler output == single-device output.
+
+    Mirrors test_two_process_training_step for the INFERENCE path (round-2
+    VERDICT item 9)."""
+    port = _free_port()
+    script = tmp_path / "sampler_worker.py"
+    script.write_text(_SAMPLER_WORKER)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(r), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd="/root/repo", text=True,
+        )
+        for r in (0, 1)
+    ]
+    outs = [p.communicate(timeout=560)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    import json
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results[r["rank"]] = r
+    assert set(results) == {0, 1}, outs[0][-2000:]
+    for r in results.values():
+        assert r["finite"]
+        assert r["mae"] < 1e-4, results
