@@ -132,7 +132,7 @@ import jax.numpy as jnp
 from jax.experimental import multihost_utils
 from jax.sharding import NamedSharding, PartitionSpec as P
 from korean_f5_tts_tpu.config import DiTConfig
-from korean_f5_tts_tpu.models.cfm import cfm_sample
+from korean_f5_tts_tpu.models.cfm import _sample_core
 from korean_f5_tts_tpu.models.dit import init_dit
 from korean_f5_tts_tpu.parallel.mesh import make_mesh, shard_params
 
@@ -143,14 +143,17 @@ params["proj_out"]["w"] = jax.random.normal(
     jax.random.PRNGKey(1), params["proj_out"]["w"].shape) * 0.05
 
 rng = np.random.default_rng(0)  # identical on both ranks
-cond_np = rng.standard_normal((2, 16, 10)).astype(np.float32)
+b, N = 2, 32
+cond_np = rng.standard_normal((b, N, 10)).astype(np.float32)
 text_np = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.int32)
+y0_np = rng.standard_normal((b, N, 10)).astype(np.float32)
+mask_np = np.ones((b, N), bool)
 
-# single-device reference on this rank's local device (no sharding)
-ref, _ = cfm_sample(params, cfg, jnp.asarray(cond_np), jnp.asarray(text_np),
-                    duration=32, steps=2, cfg_strength=2.0, seed=0,
-                    duration_bucket=8)
-ref = np.asarray(ref)
+# replicated single-process reference (plain jit, local devices only)
+ref = np.asarray(_sample_core(params, cfg, jnp.asarray(cond_np),
+                              jnp.asarray(text_np), jnp.asarray(mask_np),
+                              None, jnp.asarray(y0_np), 2.0, 0.0, steps=2,
+                              use_cfg=True, use_sway=False, use_epss=True))
 
 # dp=2 (across processes) x tp=2 (within-process): batch item r lives on rank r
 mesh = make_mesh(n_data=2, n_model=2)
@@ -158,12 +161,11 @@ with mesh:
     sp = shard_params(init_dit(jax.random.PRNGKey(0), cfg), mesh)
     sp["proj_out"]["w"] = jax.make_array_from_process_local_data(
         NamedSharding(mesh, P()), np.asarray(params["proj_out"]["w"]))
-    cond = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("data")), cond_np[rank:rank + 1])
-    text = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("data")), text_np[rank:rank + 1])
-    mel, _ = cfm_sample(sp, cfg, cond, text, duration=32, steps=2,
-                        cfg_strength=2.0, seed=0, duration_bucket=8)
+    dp = lambda a: jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), a[rank:rank + 1])
+    mel = _sample_core(sp, cfg, dp(cond_np), dp(text_np), dp(mask_np),
+                       None, dp(y0_np), 2.0, 0.0, steps=2,
+                       use_cfg=True, use_sway=False, use_epss=True)
     got = np.asarray(multihost_utils.process_allgather(mel, tiled=True))
 
 mae = float(np.mean(np.abs(got - ref)))
