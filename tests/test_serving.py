@@ -204,6 +204,7 @@ class TestBatchDurationClamp:
 
         svc = TTSService.__new__(TTSService)
         svc.model, svc.vocoder, svc.nfe_step = model, vocoder, 2
+        svc.vocoder_fused = None
         svc.max_duration = 96
         svc.stats = {"requests": 0}
         sr = 24_000
@@ -259,3 +260,90 @@ class TestLongRefClip:
         assert resp.status == 200
         sr2, data = wavfile.read(io.BytesIO(body))
         assert data.shape[0] > 0
+
+
+class TestFusedVocoderPath:
+    def _build(self):
+        import jax
+
+        from korean_f5_tts_tpu.config import DiTConfig, ModelConfig
+        from korean_f5_tts_tpu.infer.model import load_model
+        from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+
+        arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                         mel_dim=100, text_num_embeds=40, text_dim=16,
+                         conv_layers=1)
+        model = load_model(ModelConfig(name="tiny", backbone="DiT", arch=arch,
+                                       tokenizer="custom"), use_n2gk_plus=False)
+        model.vocab_char_map = {c: i for i, c in
+                                enumerate(" abcdefghijklmnopqrstuvwxyz.,!")}
+        vcfg = VocosConfig(input_channels=100, dim=16, intermediate_dim=32,
+                           num_layers=1)
+        vparams = init_vocos(jax.random.PRNGKey(0), vcfg)
+        vocoder = jax.jit(lambda m: vocos_decode(vparams, m, vcfg))
+        vocoder.params, vocoder.vcfg = vparams, vcfg  # api.load_vocoder shape
+        return model, vocoder
+
+    def test_service_batch_uses_fused_program(self):
+        from korean_f5_tts_tpu.serving.server import TTSService, _Pending
+
+        model, vocoder = self._build()
+        svc = TTSService.__new__(TTSService)
+        svc.model, svc.vocoder, svc.nfe_step = model, vocoder, 2
+        svc.vocoder_fused = (vocoder.params, vocoder.vcfg)
+        svc.max_duration = 256
+        svc.stats = {"requests": 0}
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        items = [
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "one sentence.", "nfe_step": 2, "seed": 1}),
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "two.", "nfe_step": 2, "seed": 1}),
+        ]
+        svc._synthesize_batch(items, bucket=128)
+        fused_wavs = []
+        for it in items:
+            assert it.error is None
+            wav, out_sr = it.result
+            assert out_sr == sr and np.asarray(wav).size > 0
+            assert np.isfinite(np.asarray(wav)).all()
+            fused_wavs.append(np.asarray(wav))
+
+        # two-program fallback on the SAME requests: lengths must agree and
+        # the waveforms must match except vocoder receptive-field boundary
+        # effects (fused decodes cond+gen jointly)
+        svc2 = TTSService.__new__(TTSService)
+        svc2.model, svc2.vocoder, svc2.nfe_step = model, vocoder, 2
+        svc2.vocoder_fused = None
+        svc2.max_duration = 256
+        svc2.stats = {"requests": 0}
+        items2 = [
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "one sentence.", "nfe_step": 2, "seed": 1}),
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "two.", "nfe_step": 2, "seed": 1}),
+        ]
+        svc2._synthesize_batch(items2, bucket=128)
+        for fw, it2 in zip(fused_wavs, items2):
+            w2 = np.asarray(it2.result[0])
+            assert fw.shape == w2.shape
+            # interior (past the receptive field) must agree closely
+            if fw.size > 4096:
+                mid = slice(2048, -2048)
+                assert np.abs(fw[mid] - w2[mid]).max() < 5e-2
+
+    def test_infer_batch_process_fused_matches(self):
+        from korean_f5_tts_tpu.infer.utils_infer import infer_batch_process
+
+        model, vocoder = self._build()
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        out_f = next(infer_batch_process((ref, sr), "hello there", ["a test."],
+                                         model, vocoder, nfe_step=2, seed=3,
+                                         vocoder_fused=(vocoder.params, vocoder.vcfg)))
+        out_2 = next(infer_batch_process((ref, sr), "hello there", ["a test."],
+                                         model, vocoder, nfe_step=2, seed=3))
+        wf, w2 = np.asarray(out_f[0]), np.asarray(out_2[0])
+        assert wf.size > 0 and np.isfinite(wf).all()
+        assert abs(wf.size - w2.size) <= 256  # same gen region length
