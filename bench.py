@@ -47,10 +47,14 @@ def main():
         lambda x: x.astype(compute_dtype) if x.dtype == jnp.float32 else x,
         init_dit(key, arch),
     )
-    int8_mode = os.environ.get("F5_TTS_BENCH_INT8", "0")
+    # int8 weight mode is the HEADLINE since round 3: it meets the <= 0.02
+    # north star (0.0192) with quality proven against the torch oracle chain
+    # (PARITY_FLAGSHIP.json: torch == fp32 at 1.7e-6; int8 adds only 0.35%
+    # relative over bf16's own 0.98%; on trained weights int8 vs fp32 is
+    # 0.0015 abs — under the 1e-2 north star). 0 = bf16, 1 = FF-only int8,
+    # 2 = + attention linears (default).
+    int8_mode = os.environ.get("F5_TTS_BENCH_INT8", "2")
     if int8_mode != "0":
-        # int8 weight mode (quality tradeoff, reported separately from the
-        # bf16 headline): 1 = FF half-blocks only, 2 = + attention linears
         from korean_f5_tts_tpu.models.quant import quantize_params
 
         pats = ((r"ff/in$", r"ff/out$") if int8_mode == "1" else None)
@@ -130,10 +134,12 @@ def main():
 
     gen_seconds = gen_frames * hop / sr
     rtf = dt / gen_seconds
+    mode = {"0": "bf16", "1": "int8ff", "2": "int8"}.get(int8_mode, "int8")
     print(json.dumps({
         "metric": "rtf_16nfe_f5base_vocos",
         "value": round(rtf, 5),
-        "unit": f"rtf (wall s / generated audio s, batch {batch})",
+        "unit": f"rtf (wall s / generated audio s, batch {batch}, {mode}, "
+                "parity: PARITY_FLAGSHIP.json)",
         "vs_baseline": round(BASELINE_RTF / rtf, 3),
     }))
 

@@ -224,21 +224,28 @@ def mode_trained_int8():
 
     rng = np.random.default_rng(0)
     y0 = rng.standard_normal((1, 64, 8)).astype(np.float32)
-    base, _ = cfm_sample(params, cfg, mel[:, :32, :], text, 64,
-                         lens=np.array([32]), steps=8, cfg_strength=2.0,
-                         sway_sampling_coef=-1.0, y0=y0, duration_bucket=1)
-    base = np.asarray(base)
-    q = quantize_params(params)
-    got, _ = cfm_sample(q, cfg, mel[:, :32, :], text, 64,
-                        lens=np.array([32]), steps=8, cfg_strength=2.0,
-                        sway_sampling_coef=-1.0, y0=y0, duration_bucket=1)
-    got = np.asarray(got)
-    mae = float(np.mean(np.abs(got - base)))
+
+    def sample_with(pp):
+        out, _ = cfm_sample(pp, cfg, mel[:, :32, :], text, 64,
+                            lens=np.array([32]), steps=8, cfg_strength=2.0,
+                            sway_sampling_coef=-1.0, y0=y0, duration_bucket=1)
+        return np.asarray(out, np.float32)
+
+    base = sample_with(params)
     scale = float(np.mean(np.abs(base))) or 1.0
-    _merge({"trained_weights_int8_vs_fp32": {
-        "mel_mae": mae, "rel": mae / scale, "loss_first": l0, "loss_last": l_end,
-        "steps_trained": 400, "note": "weights trained to overfit (loss must "
-        "drop); int8 deviation on trained, not random, weight scales"}})
+    bf16 = sample_with(jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params))
+    got = sample_with(quantize_params(params))
+    mae = float(np.mean(np.abs(got - base)))
+    mae_bf16 = float(np.mean(np.abs(bf16 - base)))
+    _merge({"trained_weights_fast_modes_vs_fp32": {
+        "int8": {"mel_mae": mae, "rel": mae / scale},
+        "bf16": {"mel_mae": mae_bf16, "rel": mae_bf16 / scale},
+        "loss_first": l0, "loss_last": l_end, "steps_trained": 400,
+        "north_star": 1e-2,
+        "note": "weights trained to overfit (loss must drop); deviations on "
+                "trained, not random, weight scales"}})
 
 
 if __name__ == "__main__":
