@@ -292,11 +292,19 @@ def cfm_sample(
     edit_mask: np.ndarray | None = None,
     vocoder=None,
     vocoder_fused: tuple | None = None,  # (voc_params, VocosConfig): ONE program
+    split_by_bucket: bool = True,
 ):
     """Zero-shot sampling. Host wrapper: duration semantics, bucketing, noise.
 
     Returns (out, None): [b, max_dur, d] mel with the conditioning region
     spliced back (cfm.py:221-223), trimmed to the padded bucket length.
+
+    split_by_bucket: mixed-duration batches are regrouped so each item runs at
+    ITS OWN duration bucket instead of the batch max — masked rows are
+    invisible to attention either way (identical output), but the dense ops
+    (qkv/FF/LN) pay for every padded row, so a 50%-duration item in a
+    max-duration batch wastes half its FLOPs. Groups recur on the same
+    bucketed shapes, so no new compile shapes are introduced.
     """
     cond = jnp.asarray(cond)
     text = jnp.asarray(text)
@@ -318,6 +326,42 @@ def cfm_sample(
         duration_bucket = _default_duration_bucket()
     N = min(int(np.ceil(max_dur / duration_bucket)) * duration_bucket, max_duration)
     N = max(N, max_dur)
+
+    if split_by_bucket and b > 1 and edit_mask is None and not duplicate_test:
+        Ns = np.minimum(
+            np.maximum(np.ceil(duration / duration_bucket).astype(np.int64), 1)
+            * duration_bucket, max_duration)
+        Ns = np.maximum(Ns, duration)
+        if len(np.unique(Ns)) > 1:
+            cond_np, text_np = np.asarray(cond), np.asarray(text)
+            y0_np = None if y0 is None else np.asarray(y0)
+            subs: list[tuple[np.ndarray, object, object]] = []
+            for N_g in np.unique(Ns):
+                idx = np.where(Ns == N_g)[0]
+                sub_out, sub_wav = cfm_sample(
+                    params, arch, cond_np[idx], text_np[idx], duration[idx],
+                    lens=lens[idx], steps=steps, cfg_strength=cfg_strength,
+                    sway_sampling_coef=sway_sampling_coef, seed=seed,
+                    y0=None if y0_np is None else y0_np[idx, : int(N_g)],
+                    max_duration=max_duration, duration_bucket=duration_bucket,
+                    use_epss=use_epss, no_ref_audio=no_ref_audio,
+                    vocoder=vocoder, vocoder_fused=vocoder_fused,
+                    split_by_bucket=False,
+                )
+                subs.append((idx, np.asarray(sub_out, np.float32),
+                             None if sub_wav is None
+                             else np.asarray(sub_wav, np.float32)))
+            n1 = max(s[1].shape[1] for s in subs)
+            out = np.zeros((b, n1) + subs[0][1].shape[2:], np.float32)
+            wav = None
+            if subs[0][2] is not None:
+                nw = max(s[2].shape[1] for s in subs)
+                wav = np.zeros((b, nw), np.float32)
+            for idx, so, sw in subs:
+                out[idx, : so.shape[1]] = so
+                if wav is not None:
+                    wav[idx, : sw.shape[1]] = sw
+            return out, wav
 
     cond_mask = np.arange(N)[None, :] < lens[:, None]
     if edit_mask is not None:

@@ -160,3 +160,41 @@ class TestGuidanceIsTraced:
             "guidance/sway values must share one compiled program"
         )
         assert not np.allclose(outs[0], outs[1])  # the value still matters
+
+
+class TestSplitByBucket:
+    def test_mixed_duration_split_matches_joint(self):
+        """Duration-group splitting (cfm_sample split_by_bucket) must produce
+        the same valid-region output as one joint max-bucket batch — masked
+        rows are invisible either way; splitting only removes padded FLOPs."""
+        import jax
+
+        from korean_f5_tts_tpu.config import DiTConfig
+        from korean_f5_tts_tpu.models.cfm import cfm_sample
+        from korean_f5_tts_tpu.models.dit import init_dit
+
+        cfg = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                        mel_dim=10, text_num_embeds=20, text_dim=16,
+                        conv_layers=1)
+        params = init_dit(jax.random.PRNGKey(0), cfg)
+        params["proj_out"]["w"] = jax.random.normal(
+            jax.random.PRNGKey(1), params["proj_out"]["w"].shape) * 0.05
+        rng = np.random.default_rng(0)
+        b = 3
+        cond = rng.standard_normal((b, 10, 10)).astype(np.float32)
+        text = np.array([[1, 2, 3], [4, 5, -1], [6, -1, -1]], np.int32)
+        durations = np.array([18, 30, 44])  # buckets 24 / 32 / 48 at bucket=8 -> split
+        lens = np.full((b,), 10)
+
+        joint, _ = cfm_sample(params, cfg, cond, text, durations, lens=lens,
+                              steps=2, cfg_strength=2.0, seed=0,
+                              duration_bucket=8, split_by_bucket=False)
+        split, _ = cfm_sample(params, cfg, cond, text, durations, lens=lens,
+                              steps=2, cfg_strength=2.0, seed=0,
+                              duration_bucket=8, split_by_bucket=True)
+        joint = np.asarray(joint)
+        split = np.asarray(split)
+        for i in range(b):
+            np.testing.assert_allclose(split[i, :durations[i]],
+                                       joint[i, :durations[i]],
+                                       atol=2e-4, rtol=2e-4)
