@@ -33,6 +33,11 @@ class DiTConfig:
     attn_mask_enabled: bool = False
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
+    # remat granularity under checkpoint_activations: "full" recomputes the
+    # whole block on bwd (min memory); "dots" keeps matmul outputs resident
+    # and recomputes only elementwise ops (jax.checkpoint_policies.
+    # dots_with_no_batch_dims_saveable) — faster when HBM allows
+    remat_policy: str = "full"
 
     @property
     def text_dim_(self) -> int:

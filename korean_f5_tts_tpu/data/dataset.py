@@ -144,14 +144,17 @@ def collate_batch(
     items: list[dict[str, Any]],
     vocab_char_map: dict[str, int] | None,
     tokenize_fn=None,
-    frame_bucket: int = 64,
+    frame_bucket: int = 128,
     text_bucket: int = 32,
 ) -> dict[str, np.ndarray]:
     """Pad a list of {mel_spec [d, t], text} into fixed arrays.
 
     Returns {mel [b, n, d], mel_lengths [b], text [b, nt], text_lengths [b]}
     (dataset.py:325-346 layout, transposed to channel-last for the model).
-    Sequence dims round up to buckets to bound jit recompilation.
+    Sequence dims round up to buckets to bound jit recompilation; the frame
+    bucket is 128 so every training shape is eligible for the flash
+    attention kernels (fwd + bwd need n % 128 == 0 — at 64 the whole
+    fwd+bwd fell back to XLA's materialised-[n,n] path, ~48% of the step).
     """
     mel_lengths = np.array([it["mel_spec"].shape[-1] for it in items], np.int32)
     max_mel = _round_up(int(mel_lengths.max()), frame_bucket)

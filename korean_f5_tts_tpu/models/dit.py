@@ -248,10 +248,21 @@ def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
         pad_mask=pad_mask,
         dropout_rate=cfg.dropout if dropout_key is not None else 0.0,
     )
+    remat_policy = None
+    if cfg.checkpoint_activations and cfg.remat_policy == "dots":
+        # selective remat: keep every matmul output resident (qkv/out/FF dots
+        # dominate recompute cost at production dims), recompute only the
+        # cheap elementwise ops (LN/modulation/gelu) on the backward pass —
+        # the full-remat policy re-runs the whole block forward (~1 extra fwd
+        # per step, the bwd-wall found in round 2)
+        remat_policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     for i, blk in enumerate(p["blocks"]):
         key_i = jax.random.fold_in(dropout_key, i) if dropout_key is not None else None
         if cfg.checkpoint_activations:
-            h = jax.checkpoint(lambda hh, bb=blk, kk=key_i: block_fn(bb, hh, t_emb, key=kk))(h)
+            h = jax.checkpoint(
+                lambda hh, bb=blk, kk=key_i: block_fn(bb, hh, t_emb, key=kk),
+                policy=remat_policy,
+            )(h)
         else:
             h = block_fn(blk, h, t_emb, key=key_i)
 

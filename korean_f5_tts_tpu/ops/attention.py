@@ -267,8 +267,15 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
             try:
                 bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
                 bq = _block(n, int(os.environ.get("F5_TTS_PREFIX_BQ", "256")))
+                # prune: skip fully-masked KV chunks via per-chunk @pl.when.
+                # Wins when prefixes are much shorter than n (per-item
+                # serving batches); LOSES when lens ~ n (the predication
+                # breaks Mosaic pipelining) — training batches pack
+                # similar lengths, so force it off there via env.
+                prune_env = os.environ.get("F5_TTS_PREFIX_PRUNE", "auto")
+                prune = (not uniform) if prune_env == "auto" else prune_env != "0"
                 return flash_prefix_attention(q, k, v, prefix_lens,
-                                              bq=bq, bkv=bkv, prune=not uniform)
+                                              bq=bq, bkv=bkv, prune=prune)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("prefix-flash", e)
         if (mask is None or (mask.ndim == 2 and mask.shape[0] == 1)) and n % 512 == 0:

@@ -206,3 +206,72 @@ def test_grad_matches_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5)
+
+
+def test_transposed_kernel_matches_reference(monkeypatch):
+    # F5_TTS_FLASH_T=1: transposed-compute variant (PV accumulate contracts
+    # the chunk dim -> full MXU lanes at dh=64) must be numerically identical
+    monkeypatch.setenv("F5_TTS_FLASH_T", "1")
+    b, h, n, d = 2, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 50), _rand((b, h, n, d), 51), _rand((b, h, n, d), 52)
+    kv_lens = jnp.asarray([100, 256], jnp.int32)
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, bq=128, bkv=128)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    for i, L in enumerate([100, 256]):
+        np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                   np.asarray(want)[i, :, :L],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_transposed_kernel_prune(monkeypatch):
+    monkeypatch.setenv("F5_TTS_FLASH_T", "1")
+    b, h, n, d = 1, 2, 512, 64
+    q, k, v = _rand((b, h, n, d), 53), _rand((b, h, n, d), 54), _rand((b, h, n, d), 55)
+    kv_lens = jnp.asarray([130], jnp.int32)
+    got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, True)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    np.testing.assert_allclose(np.asarray(got)[:, :, :130],
+                               np.asarray(want)[:, :, :130], rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bwd_per_item_lens_bf16():
+    # pallas backward (dq/dk/dv kernels) vs XLA vjp: batch of 2 with
+    # different prefixes, bf16 inputs (the training dtype)
+    b, h, n, d = 2, 2, 256, 64
+    q = _rand((b, h, n, d), 60).astype(jnp.bfloat16)
+    k = _rand((b, h, n, d), 61).astype(jnp.bfloat16)
+    v = _rand((b, h, n, d), 62).astype(jnp.bfloat16)
+    g = _rand((b, h, n, d), 63).astype(jnp.bfloat16)
+    kv_lens = jnp.asarray([150, 230], jnp.int32)
+
+    _, vjp = jax.vjp(
+        lambda a, b_, c: fp._xla_prefix_attention(a, b_, c, kv_lens), q, k, v)
+    ref = vjp(g)
+    got = fp.flash_prefix_attention_bwd(q, k, v, kv_lens, g, bq=128, bkv=128)
+    for a, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=0.05, atol=0.05)
+
+
+def test_flash_bwd_env_off_matches(monkeypatch):
+    # F5_TTS_FLASH_BWD=0 must fall back to the XLA-vjp backward
+    monkeypatch.setenv("F5_TTS_FLASH_BWD", "0")
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 70), _rand((b, h, n, d), 71), _rand((b, h, n, d), 72)
+    kv_lens = jnp.asarray([180], jnp.int32)
+    w = _rand((b, h, n, d), 73)
+
+    def loss(q, k, v):
+        out = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128)
+        return jnp.sum(out[:, :, :180] * w[:, :, :180])
+
+    def loss_ref(q, k, v):
+        out = fp._xla_prefix_attention(q, k, v, kv_lens)
+        return jnp.sum(out[:, :, :180] * w[:, :, :180])
+
+    gk = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
