@@ -278,6 +278,24 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
                                               bq=bq, bkv=bkv, prune=prune)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("prefix-flash", e)
+        if (mask is None and prefix_lens is None
+                and os.environ.get("F5_TTS_UNMASKED_FLASH", "1") != "0"):
+            # fully unmasked (the TRAINING path: attn_mask_enabled=False and
+            # cfm_loss passes no pad_mask): prefix-flash with kv_lens == n.
+            # The fwd is exact (every key valid) at uniform-mask speed, and
+            # decisively, its custom_vjp brings the Pallas flash BACKWARD —
+            # the XLA bwd materialises [n, n] fp32 logits/probs several
+            # times per layer, measured at 48% of the training step.
+            from korean_f5_tts_tpu.ops.flash_prefix import flash_prefix_attention
+
+            try:
+                bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
+                bq = _block(n, int(os.environ.get("F5_TTS_PREFIX_BQ", "256")))
+                lens = jnp.full((1,), n, jnp.int32)
+                return flash_prefix_attention(q, k, v, lens,
+                                              bq=bq, bkv=bkv, prune=False)
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                _warn_fallback("prefix-flash-unmasked", e)
         if (mask is None or (mask.ndim == 2 and mask.shape[0] == 1)) and n % 512 == 0:
             # unmasked (or splash forced for A/B): shared-segment splash
             try:

@@ -271,17 +271,26 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
 # materialises [n, n] fp32 logits/probs in HBM several times per layer —
 # measured at 48% of the whole training step (163 of 336 ms at b=8, n=1200).
 # These kernels recompute p in VMEM instead (classic flash backward,
-# FlashAttention-2 split: one kernel for dq, one for dk/dv), in the
-# transposed orientation (scores [keys, queries]) so that
-#   - per-query state (running max, denominator, D = rowsum(dO*O), lse)
-#     lives as natural [1, bq] row vectors, and
-#   - every ACCUMULATE dot contracts the chunk dim, putting >=128-wide
-#     query/key blocks on the MXU lanes (dh=64 streams on m).
-# The dq sweep needs no saved lse: ds = p*(dp - D) is LINEAR in the
-# unnormalised p~, so the fwd-style online rescale (alpha on max updates,
-# divide by l at the end) applies verbatim — and the sweep's final m/l give
-# lse2 = m + log2(l) for free, which the dk/dv kernel then consumes for
-# exact normalised p. Nothing [n, n]-sized ever touches HBM.
+# FlashAttention-2 split: one kernel for dq, one for dk/dv).
+#
+# Dot orientation is the decisive constraint on TPU: an in-model A/B of the
+# transposed-compute FWD kernel (F5_TTS_FLASH_T=1, scores [keys, queries])
+# measured 24% SLOWER — Mosaic lowers dots that contract dim 0 of both
+# operands ("TN" form) very badly. So each backward kernel runs in the
+# orientation that makes EVERY dot NT (contract (1,),(1,)) or NN (contract
+# (1,),(0,)) form:
+#   - dq kernel: q-major, exactly the fwd orientation. s = q@k^T (NT),
+#     dp = dO@v^T (NT), dq += t@k (NN). The sweep needs no saved lse:
+#     ds = p*(dp - D) is LINEAR in the unnormalised p~, so the fwd-style
+#     online rescale (alpha on max updates, divide by l at the end) applies
+#     verbatim — and the final m/l give lse2 = m + log2(l) for free,
+#     emitted as an [H, n, 1] column output.
+#   - dk/dv kernel: key-major (one resident [bkv, d] key block, q streamed
+#     in chunks). s^T = k@q^T (NT), dp^T = v@dO^T (NT), dv += p^T@dO (NN),
+#     dk += ds^T@q (NN) — accumulators are natively [bkv, d], no final
+#     transpose. Per-query lse/D arrive as [1, cq] row slices of [H, n]
+#     arrays (XLA does the tiny [H,n] relayout between the two calls).
+# Nothing [n, n]-sized ever touches HBM.
 
 
 def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
@@ -290,10 +299,10 @@ def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
     h = pl.program_id(0)
     kvlen = kvlen_ref[h]
     n = k_ref.shape[1]
-    q = q_ref[0]                                       # [bq, d]
-    do = do_ref[0]
-    dvec = dvec_ref[...]                               # [1, bq]
-    qs = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    d = q_ref.shape[-1]
+    do = do_ref[0]                                     # [bq, d]
+    dvec = dvec_ref[0]                                 # [bq, 1]
+    qs = q_ref[0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
     m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
@@ -301,24 +310,25 @@ def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
     def _chunk(start, size):
         k = k_ref[0, pl.ds(start, size), :]            # [ck, d]
         v = v_ref[0, pl.ds(start, size), :]
-        s = jax.lax.dot_general(                       # [ck, bq] = k @ qs^T
-            k, qs, (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(                       # [bq, ck] = qs @ k^T
+            qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + start
-        s = jnp.where(row < kvlen, s, MASK_VALUE)
-        m_prev = m_scr[...]
-        m_next = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
-        p = jnp.exp2(s - m_next)                       # unnormalised [ck, bq]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < kvlen, s, MASK_VALUE)
+        m_prev = m_scr[...]                            # [bq, LANES]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
         alpha = jnp.exp2(m_prev - m_next)
-        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=0, keepdims=True)
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
-        dp = jax.lax.dot_general(                      # [ck, bq] = v @ do^T
-            v, do, (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(                      # [bq, ck] = dO @ v^T
+            do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        t = p * (dp - dvec)
-        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
-            k.astype(jnp.float32), t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [d, bq] += k^T @ t
+        t = p * (dp - dvec)                            # [bq, ck]
+        acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot_general(
+            t, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [bq, d] += t @ k
 
     for start, size in _chunk_plan(n, ck):
         if prune:
@@ -326,19 +336,19 @@ def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
         else:
             _chunk(start, size)
 
-    l = l_scr[...]
+    l = l_scr[...][:, :1]
     inv_l = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    dq_t = acc_scr[...] * inv_l * jnp.asarray(sm_scale, jnp.float32)
-    dq_ref[0] = dq_t.T.astype(dq_ref.dtype)
+    dq_ref[0] = (acc_scr[...] * inv_l
+                 * jnp.asarray(sm_scale, jnp.float32)).astype(dq_ref.dtype)
     # base-2-domain logsumexp of the PRE-scaled scores; log2(0) guarded for
     # all-masked rows (kvlen >= 1 everywhere in practice)
-    lse_ref[...] = m_scr[...] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
+    lse_ref[0] = m_scr[...][:, :1] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
 def _flash_prefix_dq(q, k, v, do, dvec, kv_lens, sm_scale: float,
                      bq: int = 256, ck: int = 512, prune: bool = False):
-    """dq + lse2 for [H, n, d] folded heads. dvec: [H, n] rowsum(dO*O)."""
+    """dq + lse2 for [H, n, d] folded heads. dvec: [H, n, 1] rowsum(dO*O)."""
     H, n, d = q.shape
     assert n % bq == 0 and n % LANES == 0, (n, bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -349,16 +359,16 @@ def _flash_prefix_dq(q, k, v, do, dvec, kv_lens, sm_scale: float,
             pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
             pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
             pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),   # dO
-            pl.BlockSpec((1, bq), lambda h, i, *_: (h, i)),         # D
+            pl.BlockSpec((1, bq, 1), lambda h, i, *_: (h, i, 0)),   # D col
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
-            pl.BlockSpec((1, bq), lambda h, i, *_: (h, i)),         # lse2
+            pl.BlockSpec((1, bq, 1), lambda h, i, *_: (h, i, 0)),   # lse2 col
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((1, bq), jnp.float32),
-            pltpu.VMEM((d, bq), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
     kernel = functools.partial(_kernel_dq, sm_scale=sm_scale, ck=ck,
@@ -367,7 +377,7 @@ def _flash_prefix_dq(q, k, v, do, dvec, kv_lens, sm_scale: float,
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((H, n, d), q.dtype),
-                   jax.ShapeDtypeStruct((H, n), jnp.float32)],
+                   jax.ShapeDtypeStruct((H, n, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -393,37 +403,40 @@ def _kernel_dkv(kvlen_ref, k_ref, v_ref, q_ref, do_ref, dvec_ref, lse_ref,
     def _chunk(start, size):
         q = q_ref[0, pl.ds(start, size), :]            # [cq, d]
         do = do_ref[0, pl.ds(start, size), :]
-        lse = lse_ref[:, pl.ds(start, size)]           # [1, cq]
-        dvec = dvec_ref[:, pl.ds(start, size)]
+        lse = lse_ref[0, :, pl.ds(start, size)]        # [1, cq]
+        dvec = dvec_ref[0, :, pl.ds(start, size)]
         s = jax.lax.dot_general(                       # [bkv, cq] = k @ q^T
             k, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale2
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + key0
         s = jnp.where(row < kvlen, s, MASK_VALUE)
         p = jnp.exp2(s - lse)                          # normalised [bkv, cq]
-        dv_scr[...] += jax.lax.dot_general(            # [d, bkv]^T path:
-            do.astype(jnp.float32), p, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # do^T @ p^T
-        dp = jax.lax.dot_general(                      # [bkv, cq] = v @ do^T
+        dv_scr[...] += jax.lax.dot_general(            # [bkv, d] = p^T' @ dO
+            p, do.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(                      # [bkv, cq] = v @ dO^T
             v, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - dvec)
-        dk_scr[...] += jax.lax.dot_general(
-            q.astype(jnp.float32), ds, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # [d, bkv] = q^T @ ds^T
+        dk_scr[...] += jax.lax.dot_general(            # [bkv, d] = ds @ q
+            ds, q.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     for start, size in _chunk_plan(n, cq):
         _chunk(start, size)
 
-    dk_ref[0] = (dk_scr[...] * jnp.asarray(sm_scale, jnp.float32)).T.astype(
+    dk_ref[0] = (dk_scr[...] * jnp.asarray(sm_scale, jnp.float32)).astype(
         dk_ref.dtype)
-    dv_ref[0] = dv_scr[...].T.astype(dv_ref.dtype)
+    dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "bkv", "cq"))
 def _flash_prefix_dkv(q, k, v, do, dvec, lse, kv_lens, sm_scale: float,
                       bkv: int = 256, cq: int = 512):
-    """dk, dv for [H, n, d] folded heads given lse2 from the dq sweep."""
+    """dk, dv for [H, n, d] folded heads given lse2 from the dq sweep.
+
+    dvec, lse: [H, 1, n] per-query rows (XLA relayouts the dq kernel's
+    column outputs — tiny, H*n fp32)."""
     H, n, d = q.shape
     assert n % bkv == 0 and n % LANES == 0, (n, bkv)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -434,16 +447,18 @@ def _flash_prefix_dkv(q, k, v, do, dvec, lse, kv_lens, sm_scale: float,
             pl.BlockSpec((1, bkv, d), lambda h, j, *_: (h, j, 0)),   # v
             pl.BlockSpec((1, n, d), lambda h, j, *_: (h, 0, 0)),     # q
             pl.BlockSpec((1, n, d), lambda h, j, *_: (h, 0, 0)),     # dO
-            pl.BlockSpec((1, n), lambda h, j, *_: (h, 0)),           # D
-            pl.BlockSpec((1, n), lambda h, j, *_: (h, 0)),           # lse2
+            # [H, 1, n] rows: a (1, n) block of an [H, n] array violates
+            # Mosaic's (8, 128)-divisibility rule; (1, 1, n) is dims-equal
+            pl.BlockSpec((1, 1, n), lambda h, j, *_: (h, 0, 0)),     # D
+            pl.BlockSpec((1, 1, n), lambda h, j, *_: (h, 0, 0)),     # lse2
         ],
         out_specs=[
             pl.BlockSpec((1, bkv, d), lambda h, j, *_: (h, j, 0)),
             pl.BlockSpec((1, bkv, d), lambda h, j, *_: (h, j, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, bkv), jnp.float32),
-            pltpu.VMEM((d, bkv), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
+            pltpu.VMEM((bkv, d), jnp.float32),
         ],
     )
     kernel = functools.partial(_kernel_dkv, sm_scale=sm_scale, cq=cq)
@@ -482,11 +497,13 @@ def flash_prefix_attention_bwd(q, k, v, kv_lens, g, o=None,
         o = _flash_prefix_folded(qf, kf, vf, lens_h, scale, bq=bq, ck=bkv,
                                  prune=False)
     dvec = jnp.sum(gf.astype(jnp.float32)
-                   * o.reshape(b * h, n, d).astype(jnp.float32), axis=-1)
+                   * o.reshape(b * h, n, d).astype(jnp.float32),
+                   axis=-1, keepdims=True)             # [H, n, 1]
     dq, lse = _flash_prefix_dq(qf, kf, vf, gf, dvec, lens_h, scale,
                                bq=bq, ck=bkv, prune=False)
-    dk, dv = _flash_prefix_dkv(qf, kf, vf, gf, dvec, lse, lens_h, scale,
-                               bkv=bq, cq=bkv)
+    dk, dv = _flash_prefix_dkv(qf, kf, vf, gf,
+                               dvec.transpose(0, 2, 1), lse.transpose(0, 2, 1),
+                               lens_h, scale, bkv=bq, cq=bkv)
     return (dq.reshape(b, h, n, d), dk.reshape(b, h, n, d),
             dv.reshape(b, h, n, d))
 
