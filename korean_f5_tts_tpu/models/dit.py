@@ -256,6 +256,16 @@ def dit_backbone(p: dict, cfg: DiTConfig, h: jax.Array, t_emb: jax.Array,
         # the full-remat policy re-runs the whole block forward (~1 extra fwd
         # per step, the bwd-wall found in round 2)
         remat_policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        import os
+
+        if os.environ.get("F5_TTS_REMAT_SAVE_ATTN", "1") != "0":
+            # also keep the (non-dot) flash-attention kernel output resident
+            # so the backward pass skips the flash fwd recompute — ~21 MB x
+            # depth at b=8/n=1280, well within HBM next to the dot residuals
+            remat_policy = jax.checkpoint_policies.save_from_both_policies(
+                remat_policy,
+                jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
     for i, blk in enumerate(p["blocks"]):
         key_i = jax.random.fold_in(dropout_key, i) if dropout_key is not None else None
         if cfg.checkpoint_activations:

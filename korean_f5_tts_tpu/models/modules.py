@@ -25,6 +25,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from korean_f5_tts_tpu.ops import grouped_conv as _gconv
 
@@ -520,6 +521,7 @@ def attention(p: dict, x: jax.Array, heads: int,
 
             fused_out = qkv_fused_sdpa(qkv, heads, rope, pe_attn_head, prefix_lens)
             if fused_out is not None:
+                fused_out = _checkpoint_name(fused_out, "attn_out")
                 out = linear(p["to_out"], fused_out)
                 if mask is not None:
                     out = jnp.where(mask[..., None], out, 0.0)
@@ -551,6 +553,10 @@ def attention(p: dict, x: jax.Array, heads: int,
             k = apply_rope(k, cos, sin, pe_attn_head)
         attn_core = scaled_dot_product_attention(q, k, v, attn_mask,
                                                  prefix_lens=prefix_lens)
+    # named so the "dots" remat policy can keep it resident: the flash
+    # kernel's output is not a dot_general, so the policy would otherwise
+    # recompute the whole flash forward during the backward pass
+    attn_core = _checkpoint_name(attn_core, "attn_out")
     out = _merge_heads(attn_core)
     out = linear(p["to_out"], out)
     if mask is not None:

@@ -228,6 +228,66 @@ def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, sm_scale: float, ck: int,
+                prune: bool):
+    """Forward + logsumexp output (training fwd: the bwd kernels reuse lse,
+    so the dq sweep skips the online-softmax rescan entirely)."""
+    h = pl.program_id(0)
+    kvlen = kvlen_ref[h]
+    n = k_ref.shape[1]
+    out = _softmax_over_chunks(
+        q_ref[0],
+        lambda s, z: k_ref[0, pl.ds(s, z), :],
+        lambda s, z: v_ref[0, pl.ds(s, z), :],
+        kvlen, sm_scale, _chunk_plan(n, ck), m_scr, l_scr, acc_scr,
+        prune=prune)
+    o_ref[0] = out.astype(o_ref.dtype)
+    l = l_scr[...][:, :1]
+    lse_ref[0] = m_scr[...][:, :1] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
+def _flash_prefix_folded_lse(q, k, v, kv_lens, sm_scale: float,
+                             bq: int = 256, ck: int = 512,
+                             prune: bool = False):
+    """Forward returning (o, lse2 [H, n, 1]) — base-2-domain logsumexp of
+    the pre-scaled scores, consumed by both backward kernels."""
+    H, n, d = q.shape
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
+    assert d <= LANES, "head_dim > 128 needs lane tiling in the kernel"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, i, *_: (h, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel_lse, sm_scale=sm_scale, ck=ck,
+                               prune=prune)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((H, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((H, n, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(kv_lens.astype(jnp.int32), q, k, v)
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
 def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
                          bq: int = 256, ck: int = 512, prune: bool = True):
@@ -295,7 +355,7 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
 
 def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
                dq_ref, lse_ref, m_scr, l_scr, acc_scr,
-               *, sm_scale: float, ck: int, prune: bool):
+               *, sm_scale: float, ck: int, prune: bool, cast: bool = False):
     h = pl.program_id(0)
     kvlen = kvlen_ref[h]
     n = k_ref.shape[1]
@@ -326,8 +386,11 @@ def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         t = p * (dp - dvec)                            # [bq, ck]
+        # cast=True: accumulate dot in bf16 (one convert pass per chunk,
+        # buys the MXU's native-rate path if f32 operands are penalised)
+        tk = (t.astype(k.dtype), k) if cast else (t, k.astype(jnp.float32))
         acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot_general(
-            t, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            tk[0], tk[1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)        # [bq, d] += t @ k
 
     for start, size in _chunk_plan(n, ck):
@@ -345,9 +408,86 @@ def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
     lse_ref[0] = m_scr[...][:, :1] + jnp.log2(jnp.where(l == 0.0, 1.0, l))
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
+def _kernel_dq_lsein(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
+                     lse_ref, dq_ref, acc_scr,
+                     *, sm_scale: float, ck: int, cast: bool):
+    """dq sweep with the forward's lse given: p is exactly normalised per
+    chunk (no running max/denominator, no alpha rescales of the
+    accumulator) — ~5 fewer VPU passes per [bq, ck] chunk than the
+    rescan form, and dq needs no final 1/l scale."""
+    h = pl.program_id(0)
+    kvlen = kvlen_ref[h]
+    n = k_ref.shape[1]
+    do = do_ref[0]                                     # [bq, d]
+    dvec = dvec_ref[0]                                 # [bq, 1]
+    lse = lse_ref[0]                                   # [bq, 1]
+    qs = q_ref[0] * jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def _chunk(start, size):
+        k = k_ref[0, pl.ds(start, size), :]            # [ck, d]
+        v = v_ref[0, pl.ds(start, size), :]
+        s = jax.lax.dot_general(                       # [bq, ck] = qs @ k^T
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < kvlen, s, MASK_VALUE)
+        p = jnp.exp2(s - lse)                          # normalised [bq, ck]
+        dp = jax.lax.dot_general(                      # [bq, ck] = dO @ v^T
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t = p * (dp - dvec)                            # [bq, ck]
+        tk = (t.astype(k.dtype), k) if cast else (t, k.astype(jnp.float32))
+        acc_scr[...] += jax.lax.dot_general(
+            tk[0], tk[1], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [bq, d] += t @ k
+
+    for start, size in _chunk_plan(n, ck):
+        _chunk(start, size)
+
+    dq_ref[0] = (acc_scr[...]
+                 * jnp.asarray(sm_scale, jnp.float32)).astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "bq", "ck", "cast"))
+def _flash_prefix_dq_lsein(q, k, v, do, dvec, lse, kv_lens, sm_scale: float,
+                           bq: int = 256, ck: int = 512, cast: bool = True):
+    """dq for [H, n, d] folded heads, consuming the fwd's lse2 [H, n, 1]."""
+    H, n, d = q.shape
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),   # dO
+            pl.BlockSpec((1, bq, 1), lambda h, i, *_: (h, i, 0)),   # D col
+            pl.BlockSpec((1, bq, 1), lambda h, i, *_: (h, i, 0)),   # lse col
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+    )
+    kernel = functools.partial(_kernel_dq_lsein, sm_scale=sm_scale, ck=ck,
+                               cast=cast)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(kv_lens.astype(jnp.int32), q, k, v, do, dvec, lse)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "bq", "ck", "prune", "cast"))
 def _flash_prefix_dq(q, k, v, do, dvec, kv_lens, sm_scale: float,
-                     bq: int = 256, ck: int = 512, prune: bool = False):
+                     bq: int = 256, ck: int = 512, prune: bool = False,
+                     cast: bool = False):
     """dq + lse2 for [H, n, d] folded heads. dvec: [H, n, 1] rowsum(dO*O)."""
     H, n, d = q.shape
     assert n % bq == 0 and n % LANES == 0, (n, bq)
@@ -372,7 +512,7 @@ def _flash_prefix_dq(q, k, v, do, dvec, kv_lens, sm_scale: float,
         ],
     )
     kernel = functools.partial(_kernel_dq, sm_scale=sm_scale, ck=ck,
-                               prune=prune)
+                               prune=prune, cast=cast)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -387,7 +527,7 @@ def _flash_prefix_dq(q, k, v, do, dvec, kv_lens, sm_scale: float,
 
 def _kernel_dkv(kvlen_ref, k_ref, v_ref, q_ref, do_ref, dvec_ref, lse_ref,
                 dk_ref, dv_ref, dk_scr, dv_scr,
-                *, sm_scale: float, cq: int):
+                *, sm_scale: float, cq: int, cast: bool = False):
     h = pl.program_id(0)
     j = pl.program_id(1)
     kvlen = kvlen_ref[h]
@@ -411,15 +551,17 @@ def _kernel_dkv(kvlen_ref, k_ref, v_ref, q_ref, do_ref, dvec_ref, lse_ref,
         row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + key0
         s = jnp.where(row < kvlen, s, MASK_VALUE)
         p = jnp.exp2(s - lse)                          # normalised [bkv, cq]
+        pd = (p.astype(do.dtype), do) if cast else (p, do.astype(jnp.float32))
         dv_scr[...] += jax.lax.dot_general(            # [bkv, d] = p^T' @ dO
-            p, do.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            pd[0], pd[1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(                      # [bkv, cq] = v @ dO^T
             v, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = p * (dp - dvec)
+        dsq = (ds.astype(q.dtype), q) if cast else (ds, q.astype(jnp.float32))
         dk_scr[...] += jax.lax.dot_general(            # [bkv, d] = ds @ q
-            ds, q.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            dsq[0], dsq[1], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     for start, size in _chunk_plan(n, cq):
@@ -430,9 +572,10 @@ def _kernel_dkv(kvlen_ref, k_ref, v_ref, q_ref, do_ref, dvec_ref, lse_ref,
     dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("sm_scale", "bkv", "cq"))
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "bkv", "cq", "cast"))
 def _flash_prefix_dkv(q, k, v, do, dvec, lse, kv_lens, sm_scale: float,
-                      bkv: int = 256, cq: int = 512):
+                      bkv: int = 256, cq: int = 512, cast: bool = False):
     """dk, dv for [H, n, d] folded heads given lse2 from the dq sweep.
 
     dvec, lse: [H, 1, n] per-query rows (XLA relayouts the dq kernel's
@@ -461,7 +604,8 @@ def _flash_prefix_dkv(q, k, v, do, dvec, lse, kv_lens, sm_scale: float,
             pltpu.VMEM((bkv, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_kernel_dkv, sm_scale=sm_scale, cq=cq)
+    kernel = functools.partial(_kernel_dkv, sm_scale=sm_scale, cq=cq,
+                               cast=cast)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -474,7 +618,7 @@ def _flash_prefix_dkv(q, k, v, do, dvec, lse, kv_lens, sm_scale: float,
     )(kv_lens.astype(jnp.int32), k, v, q, do, dvec, lse)
 
 
-def flash_prefix_attention_bwd(q, k, v, kv_lens, g, o=None,
+def flash_prefix_attention_bwd(q, k, v, kv_lens, g, o=None, lse=None,
                                bq: int = 256, bkv: int = 512):
     """Pallas flash backward for [b, h, n, d] prefix attention.
 
@@ -482,8 +626,24 @@ def flash_prefix_attention_bwd(q, k, v, kv_lens, g, o=None,
     reference formulation) without ever materialising [n, n] in HBM.
     o: the forward output (saved as a custom_vjp residual; only needed for
     D = rowsum(dO * o)) — recomputed with one extra kernel pass if absent.
+    lse: [b*h, n, 1] base-2 logsumexp from _flash_prefix_folded_lse — when
+    given, the dq sweep consumes it instead of re-running online softmax.
+
+    Tuning env knobs (read at trace time; measured defaults from the
+    b=8 x n=1280 training A/B): F5_TTS_BWD_CAST=0 keeps the accumulate-dot
+    operands (t / p / ds) fp32 (default casts to the input dtype — wins
+    ~10 ms/step: Mosaic's f32-operand dots are penalised);
+    F5_TTS_BWD_BQ / F5_TTS_BWD_CK override the query-block / chunk sizes
+    (default ck 640 when it divides n: fewer chunk boundaries won the
+    sweep at n=1280).
     """
+    import os
+
     b, h, n, d = q.shape
+    bq = int(os.environ.get("F5_TTS_BWD_BQ", bq))
+    default_ck = 640 if n % 640 == 0 else bkv
+    bkv = int(os.environ.get("F5_TTS_BWD_CK", default_ck))
+    cast = os.environ.get("F5_TTS_BWD_CAST", "1") != "0"
     scale = 1.0 / math.sqrt(d)
     lens = kv_lens.astype(jnp.int32)
     if lens.shape[0] == 1 and b > 1:
@@ -499,11 +659,15 @@ def flash_prefix_attention_bwd(q, k, v, kv_lens, g, o=None,
     dvec = jnp.sum(gf.astype(jnp.float32)
                    * o.reshape(b * h, n, d).astype(jnp.float32),
                    axis=-1, keepdims=True)             # [H, n, 1]
-    dq, lse = _flash_prefix_dq(qf, kf, vf, gf, dvec, lens_h, scale,
-                               bq=bq, ck=bkv, prune=False)
+    if lse is not None:
+        dq = _flash_prefix_dq_lsein(qf, kf, vf, gf, dvec, lse, lens_h, scale,
+                                    bq=bq, ck=bkv, cast=cast)
+    else:
+        dq, lse = _flash_prefix_dq(qf, kf, vf, gf, dvec, lens_h, scale,
+                                   bq=bq, ck=bkv, prune=False, cast=cast)
     dk, dv = _flash_prefix_dkv(qf, kf, vf, gf,
                                dvec.transpose(0, 2, 1), lse.transpose(0, 2, 1),
-                               lens_h, scale, bkv=bq, cq=bkv)
+                               lens_h, scale, bkv=bq, cq=bkv, cast=cast)
     return (dq.reshape(b, h, n, d), dk.reshape(b, h, n, d),
             dv.reshape(b, h, n, d))
 
@@ -550,11 +714,28 @@ def flash_prefix_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _fp_fwd(q, k, v, kv_lens, bq, bkv, prune):
-    out = flash_prefix_attention(q, k, v, kv_lens, bq, bkv, prune)
+    import os
+
     # o rides along as a residual: the backward needs rowsum(dO*o) and
     # saving it beats recomputing it with a whole extra fwd kernel pass
-    # (under remat the residual is produced by the recompute either way)
-    return out, (q, k, v, kv_lens, out)
+    # (under remat the residual is produced by the recompute either way).
+    # In a grad context the lse-emitting fwd runs instead, so BOTH backward
+    # kernels consume the forward's logsumexp (the dq rescan disappears).
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if ((on_tpu or _INTERPRET)
+            and os.environ.get("F5_TTS_BWD_LSE", "1") != "0"):
+        b, h, n, d = q.shape
+        lens = kv_lens.astype(jnp.int32)
+        if lens.shape[0] == 1 and b > 1:
+            lens = jnp.broadcast_to(lens, (b,))
+        lens_h = jnp.repeat(lens, h)
+        of, lse = _flash_prefix_folded_lse(
+            q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+            v.reshape(b * h, n, d), lens_h, 1.0 / math.sqrt(d),
+            bq=bq, ck=bkv, prune=False)
+        return of.reshape(b, h, n, d), (q, k, v, kv_lens, of, lse)
+    out = flash_prefix_attention(q, k, v, kv_lens, bq, bkv, prune)
+    return out, (q, k, v, kv_lens, out, None)
 
 
 def _fp_bwd(bq, bkv, prune, res, g):
@@ -562,14 +743,14 @@ def _fp_bwd(bq, bkv, prune, res, g):
 
     import numpy as np
 
-    q, k, v, kv_lens, o = res
+    q, k, v, kv_lens, o, lse = res
     n = q.shape[2]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if ((on_tpu or _INTERPRET)
             and os.environ.get("F5_TTS_FLASH_BWD", "1") != "0"
             and n % bq == 0 and q.shape[3] <= LANES):
         dq, dk, dv = flash_prefix_attention_bwd(q, k, v, kv_lens, g, o=o,
-                                                bq=bq, bkv=bkv)
+                                                lse=lse, bq=bq, bkv=bkv)
         return dq, dk, dv, np.zeros(kv_lens.shape, jax.dtypes.float0)
     lens = kv_lens.astype(jnp.int32)
     if lens.shape[0] == 1 and q.shape[0] > 1:

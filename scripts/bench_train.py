@@ -38,6 +38,11 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--frames", type=int, default=1200)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--fence_every", type=int, default=5,
+                   help="host readbacks per this many steps: each fence "
+                        "embeds a ~30 ms relay roundtrip with run-to-run "
+                        "jitter, so amortise it over several async-dispatched "
+                        "steps for a stable per-step number")
     p.add_argument("--device", default=None)
     args = p.parse_args()
     if args.device:
@@ -70,10 +75,17 @@ def main():
     state, loss = step(state, 0)
     # host scalar readback = the only reliable fence through the relay
     float(loss)
+    fe = max(1, args.fence_every)
     t0 = time.perf_counter()
-    for i in range(1, args.iters + 1):
-        state, loss = step(state, i)
+    done = 0
+    i = 0
+    while done < args.iters:
+        burst = min(fe, args.iters - done)
+        for _ in range(burst):  # async dispatch; device runs back-to-back
+            i += 1
+            state, loss = step(state, i)
         float(loss)
+        done += burst
     dt = (time.perf_counter() - t0) / args.iters
     frames_per_s = b * n / dt
     print(json.dumps({

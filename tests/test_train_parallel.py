@@ -43,15 +43,18 @@ class TestTrainStep:
         params = init_dit(jax.random.PRNGKey(0), TINY)
         opt = make_optimizer(learning_rate=1e-2, warmup_updates=1, total_updates=100)
         state = init_train_state(params, opt, ema_decay=0.5)
+        # snapshot: train_step donates its input state (params aliases it)
+        params0_input_proj = np.asarray(params["input_proj"]["w"]).copy()
         state1, _ = train_step(state, _batch(), jax.random.PRNGKey(0), TINY, opt,
                                ema_decay=0.5)
+        # snapshot BEFORE the next step: train_step donates its input state
+        w_ema1 = np.asarray(state1.ema_params["input_proj"]["w"])
         state2, _ = train_step(state1, _batch(), jax.random.PRNGKey(1), TINY, opt,
                                ema_decay=0.5)
         # second step: ema2 = 0.5*ema1 + 0.5*params2
-        w_ema1 = np.asarray(state1.ema_params["input_proj"]["w"])
         w_p2 = np.asarray(state2.params["input_proj"]["w"])
         w_ema2 = np.asarray(state2.ema_params["input_proj"]["w"])
-        assert np.abs(w_p2 - np.asarray(params["input_proj"]["w"])).max() > 1e-5
+        assert np.abs(w_p2 - np.asarray(params0_input_proj)).max() > 1e-5
         np.testing.assert_allclose(w_ema2, 0.5 * w_ema1 + 0.5 * w_p2, atol=1e-6)
 
 
@@ -60,6 +63,9 @@ class TestMixedPrecision:
         params = init_dit(jax.random.PRNGKey(0), TINY)
         opt = make_optimizer(learning_rate=1e-3, warmup_updates=1, total_updates=100)
         state = init_train_state(params, opt)
+        # snapshot: train_step donates the input state, and `params` aliases
+        # state.params
+        w_proj_out0 = np.asarray(params["proj_out"]["w"]).copy()
         state2, loss = train_step(state, _batch(), jax.random.PRNGKey(0), TINY, opt,
                                   compute_dtype=jnp.bfloat16)
         assert np.isfinite(float(loss))
@@ -68,7 +74,7 @@ class TestMixedPrecision:
         # and actually moved — only proj_out has nonzero grads at AdaLN-zero
         # init, so check that leaf (exact bits; warmup lr is tiny)
         assert not np.array_equal(np.asarray(state2.params["proj_out"]["w"]),
-                                  np.asarray(params["proj_out"]["w"]))
+                                  w_proj_out0)
 
 
 class TestMesh:
