@@ -335,7 +335,11 @@ def cfm_sample(
         if len(np.unique(Ns)) > 1:
             cond_np, text_np = np.asarray(cond), np.asarray(text)
             y0_np = None if y0 is None else np.asarray(y0)
-            subs: list[tuple[np.ndarray, object, object]] = []
+            # dispatch ALL groups before materialising any: the jitted
+            # samplers return asynchronously, so the device runs groups
+            # back-to-back instead of idling through a host readback (a
+            # ~30 ms relay roundtrip each) between groups
+            pend: list[tuple[np.ndarray, object, object]] = []
             for N_g in np.unique(Ns):
                 idx = np.where(Ns == N_g)[0]
                 sub_out, sub_wav = cfm_sample(
@@ -348,9 +352,10 @@ def cfm_sample(
                     vocoder=vocoder, vocoder_fused=vocoder_fused,
                     split_by_bucket=False,
                 )
-                subs.append((idx, np.asarray(sub_out, np.float32),
-                             None if sub_wav is None
-                             else np.asarray(sub_wav, np.float32)))
+                pend.append((idx, sub_out, sub_wav))
+            subs = [(idx, np.asarray(so, np.float32),
+                     None if sw is None else np.asarray(sw, np.float32))
+                    for idx, so, sw in pend]
             n1 = max(s[1].shape[1] for s in subs)
             out = np.zeros((b, n1) + subs[0][1].shape[2:], np.float32)
             wav = None
