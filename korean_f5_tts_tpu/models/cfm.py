@@ -306,6 +306,10 @@ def cfm_sample(
     max-duration batch wastes half its FLOPs. Groups recur on the same
     bucketed shapes, so no new compile shapes are introduced.
     """
+    # host copy of text BEFORE the device upload: text_lens and the split
+    # regrouping below stay host-side (np.asarray on a device array would be
+    # a blocking relay readback per call)
+    text_host = np.asarray(text)
     cond = jnp.asarray(cond)
     text = jnp.asarray(text)
     b, cond_seq_len, d = cond.shape
@@ -316,7 +320,7 @@ def cfm_sample(
     if isinstance(duration, int):
         duration = np.full((b,), duration, dtype=np.int64)
     duration = np.asarray(duration)
-    text_lens = np.asarray((text != -1).sum(axis=-1))
+    text_lens = (text_host != -1).sum(axis=-1)
     # at least prompt length + 1 so something is generated (cfm.py:135-139)
     duration = np.maximum(np.maximum(text_lens, lens) + 1, duration)
     duration = np.clip(duration, None, max_duration)
@@ -333,20 +337,21 @@ def cfm_sample(
             * duration_bucket, max_duration)
         Ns = np.maximum(Ns, duration)
         if len(np.unique(Ns)) > 1:
-            cond_np, text_np = np.asarray(cond), np.asarray(text)
-            y0_np = None if y0 is None else np.asarray(y0)
             # dispatch ALL groups before materialising any: the jitted
             # samplers return asynchronously, so the device runs groups
             # back-to-back instead of idling through a host readback (a
-            # ~30 ms relay roundtrip each) between groups
+            # ~30 ms relay roundtrip each) between groups. Big tensors
+            # (cond, y0) are gathered ON DEVICE — slicing host copies would
+            # re-upload each group's rows through the relay.
+            y0_dev = None if y0 is None else jnp.asarray(y0)
             pend: list[tuple[np.ndarray, object, object]] = []
             for N_g in np.unique(Ns):
                 idx = np.where(Ns == N_g)[0]
                 sub_out, sub_wav = cfm_sample(
-                    params, arch, cond_np[idx], text_np[idx], duration[idx],
+                    params, arch, cond[idx], text_host[idx], duration[idx],
                     lens=lens[idx], steps=steps, cfg_strength=cfg_strength,
                     sway_sampling_coef=sway_sampling_coef, seed=seed,
-                    y0=None if y0_np is None else y0_np[idx, : int(N_g)],
+                    y0=None if y0_dev is None else y0_dev[idx, : int(N_g)],
                     max_duration=max_duration, duration_bucket=duration_bucket,
                     use_epss=use_epss, no_ref_audio=no_ref_audio,
                     vocoder=vocoder, vocoder_fused=vocoder_fused,

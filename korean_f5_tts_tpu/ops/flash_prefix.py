@@ -166,6 +166,224 @@ def _softmax_over_chunks_T(q, k_read, v_read, kvlen, sm_scale,
     return acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)  # [dh, bq]
 
 
+def _kernel_v2(kvlen_ref, q_ref, k_ref, v_ref, o_ref,
+               ve_scr, m_scr, l_scr, acc_scr,
+               *, sm_scale: float, ck: int, prune: bool, fold_denom: bool,
+               bias_mask: bool = True):
+    """Reduced-VPU softmax kernel.
+
+    Two measured replacements for the baseline kernel's per-chunk VPU work
+    (~7 full [bq, ck] passes -> ~4):
+      - mask as a [1, ck] bias ROW broadcast-added to the scores (one full
+        pass) instead of full-size iota + compare + select (three);
+      - the softmax denominator rides the PV dot: ve_scr [n, 128] =
+        [v_f32 | 1...] is built ONCE per head from the resident V block, so
+        acc lanes d..2d carry l and the per-chunk sum(p) reduction AND the
+        per-chunk v->f32 convert both vanish. The dot's output widens
+        64 -> 128 lanes, which the MXU streams at the same rate (unlike the
+        CONTRACTION dim: an earlier variant that widened the QK contraction
+        to fold the mask into the dot measured 0.02327 vs 0.02256 in-model
+        — contraction rows cost real pump time, output lanes don't).
+    fold_denom=False keeps the baseline PV dot ([bq, d] acc + sum pass)
+    for A/B isolation (F5_TTS_FLASH_V2=1 env)."""
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    kvlen = kvlen_ref[h]
+    n = k_ref.shape[1]
+    d = q_ref.shape[-1]
+
+    if fold_denom:
+        @pl.when(i == 0)
+        def _fill():
+            v = v_ref[0].astype(jnp.float32)
+            ve_scr[...] = jnp.concatenate(
+                [v, jnp.ones((n, d), jnp.float32)], axis=1)
+
+    q = q_ref[0]
+    qs = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    if not fold_denom:
+        l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+
+    def _chunk(start, size):
+        k = k_ref[0, pl.ds(start, size), :]
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [bq, ck]
+        if bias_mask:
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1) + start
+            s = s + jnp.where(col < kvlen, 0.0, MASK_VALUE)  # [1, ck] row
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+            s = jnp.where(col < kvlen, s, MASK_VALUE)
+        m_prev = m_scr[...]                            # [bq, LANES]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
+        alpha = jnp.exp2(m_prev - m_next)
+        m_scr[...] = m_next
+        if fold_denom:
+            ve = ve_scr[pl.ds(start, size), :]         # [ck, 128] f32
+            acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+                p, ve, preferred_element_type=jnp.float32)
+        else:
+            l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1)[:, None]
+            v = v_ref[0, pl.ds(start, size), :]
+            acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
+                p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    for start, size in _chunk_plan(n, ck):
+        if prune:
+            pl.when(start < kvlen)(functools.partial(_chunk, start, size))
+        else:
+            _chunk(start, size)
+
+    acc = acc_scr[...]
+    l = acc[:, d:d + 1] if fold_denom else l_scr[...][:, :1]
+    o_ref[0] = (acc[:, :d]
+                * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("sm_scale", "bq", "ck", "prune",
+                                    "fold_denom", "bias_mask"))
+def _flash_prefix_folded_v2(q, k, v, kv_lens, sm_scale: float,
+                            bq: int = 256, ck: int = 512,
+                            prune: bool = False, fold_denom: bool = True,
+                            bias_mask: bool = True):
+    """Reduced-VPU twin of _flash_prefix_folded (same signature);
+    fold_denom requires head_dim == 64 (the ones-lanes pack the idle
+    output half of the PV dot)."""
+    H, n, d = q.shape
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
+    fold_denom = fold_denom and 2 * d == LANES
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((n, LANES) if fold_denom else (8, LANES),
+                       jnp.float32),                   # v | ones
+            pltpu.VMEM((bq, LANES), jnp.float32),      # running max
+            pltpu.VMEM((bq, LANES), jnp.float32),      # l (no-fold arm)
+            pltpu.VMEM((bq, LANES if fold_denom else d),
+                       jnp.float32),                   # acc (| denominator)
+        ],
+    )
+    kernel = functools.partial(_kernel_v2, sm_scale=sm_scale, ck=ck,
+                               prune=prune, fold_denom=fold_denom,
+                               bias_mask=bias_mask)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            # ve_scr carries head state across i steps: keep order defined
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(kv_lens.astype(jnp.int32), q, k, v)
+
+
+def _kernel_v2_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                   ve_scr, m_scr, acc_scr,
+                   *, sm_scale: float, ck: int, prune: bool):
+    """Reduced-VPU forward emitting base-2 logsumexp (training fwd twin of
+    _kernel_v2 with fold_denom; see that kernel for the scheme)."""
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    kvlen = kvlen_ref[h]
+    n = k_ref.shape[1]
+    d = q_ref.shape[-1]
+
+    @pl.when(i == 0)
+    def _fill():
+        v = v_ref[0].astype(jnp.float32)
+        ve_scr[...] = jnp.concatenate(
+            [v, jnp.ones((n, d), jnp.float32)], axis=1)
+
+    q = q_ref[0]
+    qs = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def _chunk(start, size):
+        k = k_ref[0, pl.ds(start, size), :]
+        s = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1) + start
+        s = s + jnp.where(col < kvlen, 0.0, MASK_VALUE)
+        m_prev = m_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
+        alpha = jnp.exp2(m_prev - m_next)
+        m_scr[...] = m_next
+        ve = ve_scr[pl.ds(start, size), :]
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot(
+            p, ve, preferred_element_type=jnp.float32)
+
+    for start, size in _chunk_plan(n, ck):
+        if prune:
+            pl.when(start < kvlen)(functools.partial(_chunk, start, size))
+        else:
+            _chunk(start, size)
+
+    acc = acc_scr[...]
+    l = acc[:, d:d + 1]
+    o_ref[0] = (acc[:, :d]
+                * jnp.where(l == 0.0, 1.0, 1.0 / l)).astype(o_ref.dtype)
+    lse_ref[0] = (m_scr[...][:, :1]
+                  + jnp.log2(jnp.where(l == 0.0, 1.0, l)))
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
+def _flash_prefix_folded_v2_lse(q, k, v, kv_lens, sm_scale: float,
+                                bq: int = 256, ck: int = 512,
+                                prune: bool = False):
+    """Reduced-VPU twin of _flash_prefix_folded_lse (same signature)."""
+    H, n, d = q.shape
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
+    assert 2 * d == LANES, "v2 kernel packs d=64 halves into 128 lanes"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, bq, 1), lambda h, i, *_: (h, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel_v2_lse, sm_scale=sm_scale, ck=ck,
+                               prune=prune)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((H, n, d), q.dtype),
+                   jax.ShapeDtypeStruct((H, n, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(kv_lens.astype(jnp.int32), q, k, v)
+
+
 def _kernel_T(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
               *, sm_scale: float, ck: int, prune: bool):
     h = pl.program_id(0)
@@ -373,8 +591,8 @@ def _kernel_dq(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
         s = jax.lax.dot_general(                       # [bq, ck] = qs @ k^T
             qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-        s = jnp.where(col < kvlen, s, MASK_VALUE)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1) + start
+        s = s + jnp.where(col < kvlen, 0.0, MASK_VALUE)
         m_prev = m_scr[...]                            # [bq, LANES]
         m_curr = jnp.max(s, axis=1)[:, None]
         m_next = jnp.maximum(m_prev, m_curr)
@@ -414,7 +632,8 @@ def _kernel_dq_lsein(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
     """dq sweep with the forward's lse given: p is exactly normalised per
     chunk (no running max/denominator, no alpha rescales of the
     accumulator) — ~5 fewer VPU passes per [bq, ck] chunk than the
-    rescan form, and dq needs no final 1/l scale."""
+    rescan form, and dq needs no final 1/l scale. The prefix mask is a
+    [1, ck] bias row broadcast-added to s (one pass, not iota+cmp+select)."""
     h = pl.program_id(0)
     kvlen = kvlen_ref[h]
     n = k_ref.shape[1]
@@ -430,8 +649,8 @@ def _kernel_dq_lsein(kvlen_ref, q_ref, k_ref, v_ref, do_ref, dvec_ref,
         s = jax.lax.dot_general(                       # [bq, ck] = qs @ k^T
             qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
-        s = jnp.where(col < kvlen, s, MASK_VALUE)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, size), 1) + start
+        s = s + jnp.where(col < kvlen, 0.0, MASK_VALUE)
         p = jnp.exp2(s - lse)                          # normalised [bq, ck]
         dp = jax.lax.dot_general(                      # [bq, ck] = dO @ v^T
             do, v, (((1,), (1,)), ((), ())),
@@ -548,8 +767,10 @@ def _kernel_dkv(kvlen_ref, k_ref, v_ref, q_ref, do_ref, dvec_ref, lse_ref,
         s = jax.lax.dot_general(                       # [bkv, cq] = k @ q^T
             k, q, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale2
-        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + key0
-        s = jnp.where(row < kvlen, s, MASK_VALUE)
+        # prefix mask as a [bkv, 1] bias COLUMN (keys ride the sublane dim
+        # here): one broadcast-add pass instead of iota + compare + select
+        row = jax.lax.broadcasted_iota(jnp.int32, (bkv, 1), 0) + key0
+        s = s + jnp.where(row < kvlen, 0.0, MASK_VALUE)
         p = jnp.exp2(s - lse)                          # normalised [bkv, cq]
         pd = (p.astype(do.dtype), do) if cast else (p, do.astype(jnp.float32))
         dv_scr[...] += jax.lax.dot_general(            # [bkv, d] = p^T' @ dO
@@ -704,9 +925,21 @@ def flash_prefix_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if lens.shape[0] == 1 and b > 1:
         lens = jnp.broadcast_to(lens, (b,))
     lens_h = jnp.repeat(lens, h)  # [b*h]
-    folded = (_flash_prefix_folded_T
-              if os.environ.get("F5_TTS_FLASH_T", "0") != "0"
-              else _flash_prefix_folded)
+    v2_mode = os.environ.get("F5_TTS_FLASH_V2", "0")
+    if os.environ.get("F5_TTS_FLASH_T", "0") != "0":
+        folded = _flash_prefix_folded_T
+    elif 2 * d == LANES and v2_mode in ("1", "2", "3"):
+        # measured in-model (bf16 headline): v1 0.02256 beats BOTH v2
+        # experiments — mask folded into the QK dot via a 128-wide
+        # contraction 0.02327 (contraction rows cost MXU pump time), and
+        # bias-row + denominator-in-PV-dot 0.02279. Mosaic fuses the
+        # baseline's iota/compare/select chain into the exp2 pass, so the
+        # "saved" VPU passes were already free; kept opt-in for other chips.
+        folded = functools.partial(_flash_prefix_folded_v2,
+                                   fold_denom=v2_mode in ("1", "3"),
+                                   bias_mask=v2_mode != "3")
+    else:
+        folded = _flash_prefix_folded
     out = folded(
         q.reshape(b * h, n, d), k.reshape(b * h, n, d), v.reshape(b * h, n, d),
         lens_h, scale, bq=bq, ck=bkv, prune=prune)
@@ -729,7 +962,11 @@ def _fp_fwd(q, k, v, kv_lens, bq, bkv, prune):
         if lens.shape[0] == 1 and b > 1:
             lens = jnp.broadcast_to(lens, (b,))
         lens_h = jnp.repeat(lens, h)
-        of, lse = _flash_prefix_folded_lse(
+        fwd_lse = (_flash_prefix_folded_v2_lse
+                   if (2 * d == LANES
+                       and os.environ.get("F5_TTS_FLASH_V2", "0") == "1")
+                   else _flash_prefix_folded_lse)
+        of, lse = fwd_lse(
             q.reshape(b * h, n, d), k.reshape(b * h, n, d),
             v.reshape(b * h, n, d), lens_h, 1.0 / math.sqrt(d),
             bq=bq, ck=bkv, prune=False)

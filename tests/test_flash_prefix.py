@@ -275,3 +275,78 @@ def test_flash_bwd_env_off_matches(monkeypatch):
     for a, b_ in zip(gk, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_v2_dot_folded_kernel(prune):
+    # v2 kernel (mask + denominator folded into the dots) vs XLA reference,
+    # called directly: mixed per-item prefixes incl. a bucket-exact one
+    b, h, n, d = 2, 2, 512, 64
+    q = _rand((b, h, n, d), 80)
+    k = _rand((b, h, n, d), 81)
+    v = _rand((b, h, n, d), 82)
+    kv_lens = jnp.asarray([130, 512], jnp.int32)
+    lens_h = jnp.repeat(kv_lens, h)
+    got = fp._flash_prefix_folded_v2(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+        v.reshape(b * h, n, d), lens_h, 1.0 / np.sqrt(d),
+        bq=128, ck=128, prune=prune).reshape(b, h, n, d)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    for i, L in enumerate([130, 512]):
+        np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                   np.asarray(want)[i, :, :L],
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_v2_env_off_uses_v1(monkeypatch):
+    # both kernel generations must agree through the public API
+    b, h, n, d = 1, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 90), _rand((b, h, n, d), 91), _rand((b, h, n, d), 92)
+    kv_lens = jnp.asarray([200], jnp.int32)
+    monkeypatch.setenv("F5_TTS_FLASH_V2", "0")
+    got_v1 = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+    monkeypatch.setenv("F5_TTS_FLASH_V2", "1")
+    got_v2 = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    np.testing.assert_allclose(np.asarray(got_v1)[:, :, :200],
+                               np.asarray(want)[:, :, :200], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_v2)[:, :, :200],
+                               np.asarray(want)[:, :, :200], rtol=2e-5, atol=2e-5)
+
+
+def test_v2_bf16_bucket_tail():
+    # bf16 inputs (the serving dtype) with a short prefix in a long bucket
+    b, h, n, d = 1, 4, 640, 64
+    q = _rand((b, h, n, d), 95).astype(jnp.bfloat16)
+    k = _rand((b, h, n, d), 96).astype(jnp.bfloat16)
+    v = _rand((b, h, n, d), 97).astype(jnp.bfloat16)
+    kv_lens = jnp.asarray([300], jnp.int32)
+    lens_h = jnp.repeat(kv_lens, b * h)
+    got = fp._flash_prefix_folded_v2(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+        v.reshape(b * h, n, d), lens_h, 1.0 / np.sqrt(d),
+        bq=128, ck=256, prune=False).reshape(b, h, n, d)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    np.testing.assert_allclose(np.asarray(got, np.float32)[:, :, :300],
+                               np.asarray(want, np.float32)[:, :, :300],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_v2_lse_matches_v1_lse():
+    # training fwd: v2 (dot-folded) o/lse must match the v1 lse-emitting fwd
+    b, h, n, d = 1, 2, 384, 64
+    q = _rand((b, h, n, d), 100)
+    k = _rand((b, h, n, d), 101)
+    v = _rand((b, h, n, d), 102)
+    lens_h = jnp.repeat(jnp.asarray([250], jnp.int32), b * h)
+    sc = 1.0 / np.sqrt(d)
+    o1, lse1 = fp._flash_prefix_folded_lse(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+        v.reshape(b * h, n, d), lens_h, sc, bq=128, ck=128)
+    o2, lse2 = fp._flash_prefix_folded_v2_lse(
+        q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+        v.reshape(b * h, n, d), lens_h, sc, bq=128, ck=128)
+    np.testing.assert_allclose(np.asarray(o2)[:, :250], np.asarray(o1)[:, :250],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse2)[:, :250],
+                               np.asarray(lse1)[:, :250], rtol=2e-5, atol=2e-5)
