@@ -254,6 +254,27 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
+        int8_attn = os.environ.get("F5_TTS_INT8_ATTN", "0")
+        if (int8_attn != "0" and n % 128 == 0
+                and (prefix_lens is not None or mask is None)):
+            # int8 QK/PV dots (2x MXU rate) for the int8 serving mode.
+            # INFERENCE-ONLY: the quantization has no vjp — never enable
+            # while training. "qk" quantizes only the QK dot; any other
+            # non-"0" value quantizes both dots.
+            from korean_f5_tts_tpu.ops.flash_prefix import (
+                flash_prefix_attention_i8,
+            )
+
+            lens = (prefix_lens if prefix_lens is not None
+                    else jnp.full((1,), n, jnp.int32))
+            try:
+                bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
+                bq = _block(n, int(os.environ.get("F5_TTS_PREFIX_BQ", "256")))
+                return flash_prefix_attention_i8(
+                    q, k, v, lens, bq=bq, bkv=bkv, prune=False,
+                    pv_i8=int8_attn != "qk")
+            except Exception as e:  # pragma: no cover - hardware-dependent
+                _warn_fallback("prefix-flash-int8", e)
         if (prefix_lens is not None
                 and os.environ.get("F5_TTS_UNIFORM_SPLASH", "0") == "0"):
             # prefix-masked attention: own prefix-flash kernel. In-model on

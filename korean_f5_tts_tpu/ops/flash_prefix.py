@@ -542,6 +542,157 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
 
 
 # ---------------------------------------------------------------------------
+# int8 attention: quantized QK (and optionally PV) dots at 2x the MXU rate
+# ---------------------------------------------------------------------------
+#
+# Sage-attention-style inference path for the int8 serving mode: q/k (and
+# optionally v) are quantized per (batch*head) OUTSIDE the kernel (one
+# XLA-fused amax + rint pass, and the int8 HBM reads are half the bytes);
+# the kernel runs the same online softmax as _kernel (the measured-best v1
+# form) but the n^2 dots contract int8xint8->int32, which the v5e MXU pumps
+# at twice the bf16 rate (precedent: ops/qmatmul.py, 286 TOPS standalone).
+# The combined dequant scale (aq*ak/127^2 * sm_scale * log2e) rides as one
+# f32 scalar-prefetch value per head and folds into the existing
+# convert+mask+exp2 elementwise chain. The PV dot quantizes p with the
+# FIXED scale 127 (p = exp2(s - m) is in (0, 1] by construction), so only
+# v's per-head scale enters the rescale. Forward-only: sampling never
+# differentiates, and training keeps the bf16 kernels.
+
+
+def _kernel_i8(kvlen_ref, c_ref, sv_ref, q_ref, k_ref, v_ref, o_ref,
+               m_scr, l_scr, acc_scr,
+               *, ck: int, prune: bool, pv_i8: bool):
+    h = pl.program_id(0)
+    kvlen = kvlen_ref[h]
+    c = c_ref[h]                                       # dequant * sm * log2e
+    sv = sv_ref[h]                                     # v scale / 127 (p)
+    n = k_ref.shape[1]
+    d = q_ref.shape[-1]
+    q = q_ref[0]                                       # [bq, d] int8
+    m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    def _chunk(start, size):
+        k = k_ref[0, pl.ds(start, size), :]            # [ck, d] int8
+        s32 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)          # [bq, ck]
+        s = s32.astype(jnp.float32) * c                # base-2 domain
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < kvlen, s, MASK_VALUE)
+        m_prev = m_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp2(s - jnp.tile(m_next, (1, size // LANES)))
+        alpha = jnp.exp2(m_prev - m_next)
+        l_scr[...] = alpha * l_scr[...] + jnp.sum(p, axis=1)[:, None]
+        m_scr[...] = m_next
+        v = v_ref[0, pl.ds(start, size), :]
+        if pv_i8:
+            p8 = jnp.rint(p * 127.0).astype(jnp.int8)  # p in [0, 1]
+            pv = jax.lax.dot_general(
+                p8, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # [bq, d]
+            acc_scr[...] = (acc_scr[...] * alpha[:, :d]
+                            + pv.astype(jnp.float32) * sv)
+        else:
+            acc_scr[...] = acc_scr[...] * alpha[:, :d] + jax.lax.dot(
+                p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+    for start, size in _chunk_plan(n, ck):
+        if prune:
+            pl.when(start < kvlen)(functools.partial(_chunk, start, size))
+        else:
+            _chunk(start, size)
+
+    l = l_scr[...][:, :d]
+    out = acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("bq", "ck", "prune", "pv_i8", "out_dtype"))
+def _flash_prefix_folded_i8(q8, k8, v, c, sv, kv_lens,
+                            bq: int = 256, ck: int = 512,
+                            prune: bool = False, pv_i8: bool = True,
+                            out_dtype=jnp.bfloat16):
+    """q8, k8: [H, n, d] int8; v: int8 (pv_i8) or bf16; c, sv: [H] f32."""
+    H, n, d = q8.shape
+    assert n % bq == 0 and n % LANES == 0, (n, bq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel_i8, ck=ck, prune=prune, pv_i8=pv_i8)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((H, n, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_INTERPRET,
+    )(kv_lens.astype(jnp.int32), c.astype(jnp.float32),
+      sv.astype(jnp.float32), q8, k8, v)
+
+
+def _quant_head(x):
+    """Per-(batch*head) symmetric int8: [H, n, d] -> (int8, amax[H] f32)."""
+    a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2))
+    a = jnp.maximum(a, 1e-8)
+    x8 = jnp.clip(jnp.rint(x.astype(jnp.float32)
+                           * (127.0 / a)[:, None, None]), -127, 127)
+    return x8.astype(jnp.int8), a
+
+
+def flash_prefix_attention_i8(q: jax.Array, k: jax.Array, v: jax.Array,
+                              kv_lens: jax.Array,
+                              bq: int = 256, bkv: int = 512,
+                              prune: bool = False,
+                              pv_i8: bool = True) -> jax.Array:
+    """[b, h, n, d] prefix attention with int8 QK (and optionally PV) dots.
+
+    Inference-only (no vjp): per-head dynamic symmetric quantization of
+    q/k/v, int8 contractions on the MXU at 2x bf16 rate. Accuracy is
+    bounded by 127-level per-head quantization (~1e-2 relative on the
+    attention output; measure end-to-end mel deviation before enabling —
+    scripts/int8_quality.py protocol).
+    """
+    b, h, n, d = q.shape
+    lens = kv_lens.astype(jnp.int32)
+    if lens.shape[0] == 1 and b > 1:
+        lens = jnp.broadcast_to(lens, (b,))
+    lens_h = jnp.repeat(lens, h)
+    q8, aq = _quant_head(q.reshape(b * h, n, d))
+    k8, ak = _quant_head(k.reshape(b * h, n, d))
+    c = aq * ak * ((1.0 / 127.0 ** 2) * LOG2E / math.sqrt(d))
+    if pv_i8:
+        v8, av = _quant_head(v.reshape(b * h, n, d))
+        sv = av * (1.0 / (127.0 * 127.0))
+        out = _flash_prefix_folded_i8(q8, k8, v8, c, sv, lens_h,
+                                      bq=bq, ck=bkv, prune=prune,
+                                      pv_i8=True, out_dtype=v.dtype)
+    else:
+        sv = jnp.zeros_like(c)
+        out = _flash_prefix_folded_i8(q8, k8, v.reshape(b * h, n, d), c, sv,
+                                      lens_h, bq=bq, ck=bkv, prune=prune,
+                                      pv_i8=False, out_dtype=v.dtype)
+    return out.reshape(b, h, n, d)
+
+
+# ---------------------------------------------------------------------------
 # flash backward: dq (+lse) kernel and dk/dv kernel
 # ---------------------------------------------------------------------------
 #

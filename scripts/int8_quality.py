@@ -55,17 +55,40 @@ pad_mask = jnp.asarray(np.arange(n)[None, :] < 1376)
 
 
 def sample(p):
-    return _sample_core(
-        p, arch, step_cond, text, None, pad_mask, y0,
-        jnp.asarray(2.0, DT), jnp.asarray(-1.0, DT),
-        steps=16, use_cfg=True, use_sway=True, use_epss=True)
+    # fresh jit per call: env knobs (F5_TTS_INT8_ATTN) are read at trace
+    # time, so reusing one jit cache would silently ignore mode changes
+    import functools
+
+    fn = jax.jit(functools.partial(
+        _sample_core.__wrapped__, steps=16, use_cfg=True, use_sway=True,
+        use_epss=True))
+    return fn(p, arch, step_cond, text, None, pad_mask, y0,
+              jnp.asarray(2.0, DT), jnp.asarray(-1.0, DT))
 
 
 ref = np.asarray(sample(params).astype(jnp.float32))[:, :1376]
 scale = float(np.abs(ref).mean())
 
-for name, pats in [("int8_ff", (r"ff/in$", r"ff/out$")), ("int8_all", None)]:
-    qp = quantize_params(params) if pats is None else quantize_params(params, patterns=pats)
+MODES = [
+    ("int8_ff", (r"ff/in$", r"ff/out$"), None),
+    ("int8_all", None, None),
+    ("bf16+attn_i8qk", "bf16", "qk"),       # attention-quant error alone
+    ("bf16+attn_i8", "bf16", "1"),
+    ("int8_all+attn_i8qk", None, "qk"),
+    ("int8_all+attn_i8", None, "1"),
+]
+for name, pats, attn in MODES:
+    if pats == "bf16":
+        qp = params
+    else:
+        qp = (quantize_params(params) if pats is None
+              else quantize_params(params, patterns=pats))
+    import os
+
+    if attn:
+        os.environ["F5_TTS_INT8_ATTN"] = attn
+    else:
+        os.environ.pop("F5_TTS_INT8_ATTN", None)
     out = np.asarray(sample(qp).astype(jnp.float32))[:, :1376]
     mae = float(np.abs(out - ref).mean())
     print(json.dumps({"mode": name, "mel_mae_vs_bf16": round(mae, 5),

@@ -350,3 +350,31 @@ def test_v2_lse_matches_v1_lse():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(lse2)[:, :250],
                                np.asarray(lse1)[:, :250], rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pv_i8", [True, False])
+def test_int8_attention_close_to_reference(pv_i8):
+    # int8 QK(/PV) kernel: per-head 127-level quantization bounds the error;
+    # attention outputs are O(1) (weighted means of v), so absolute ~2e-2
+    b, h, n, d = 2, 2, 256, 64
+    q, k, v = _rand((b, h, n, d), 110), _rand((b, h, n, d), 111), _rand((b, h, n, d), 112)
+    kv_lens = jnp.asarray([150, 256], jnp.int32)
+    got = fp.flash_prefix_attention_i8(q, k, v, kv_lens, bq=128, bkv=128,
+                                       pv_i8=pv_i8)
+    want = fp._xla_prefix_attention(q, k, v, kv_lens)
+    for i, L in enumerate([150, 256]):
+        err = np.abs(np.asarray(got, np.float32)[i, :, :L]
+                     - np.asarray(want)[i, :, :L])
+        assert err.max() < 0.03, (pv_i8, err.max())
+        assert err.mean() < 0.005, (pv_i8, err.mean())
+
+
+def test_int8_attention_prune_matches_noprune():
+    b, h, n, d = 1, 2, 512, 64
+    q, k, v = _rand((b, h, n, d), 120), _rand((b, h, n, d), 121), _rand((b, h, n, d), 122)
+    kv_lens = jnp.asarray([130], jnp.int32)
+    a = fp.flash_prefix_attention_i8(q, k, v, kv_lens, 128, 128, prune=False)
+    b_ = fp.flash_prefix_attention_i8(q, k, v, kv_lens, 128, 128, prune=True)
+    np.testing.assert_allclose(np.asarray(a, np.float32)[:, :, :130],
+                               np.asarray(b_, np.float32)[:, :, :130],
+                               rtol=1e-6, atol=1e-6)
