@@ -48,6 +48,10 @@ def make_optimizer(
 
 def init_train_state(params, optimizer: optax.GradientTransformation,
                      use_ema: bool = True, ema_decay: float = 0.999) -> TrainState:
+    # train_step donates its input state, which would invalidate the CALLER's
+    # param buffers after the first step — take ownership with a one-time copy
+    # so user-held pytrees (e.g. passed to a second Trainer) stay live.
+    params = jax.tree_util.tree_map(jnp.copy, params)
     return TrainState(
         params=params,
         opt_state=optimizer.init(params),
@@ -60,9 +64,10 @@ def init_train_state(params, optimizer: optax.GradientTransformation,
     jax.jit, static_argnames=("arch", "cfm", "optimizer", "ema_decay", "compute_dtype"),
     # donate the input TrainState: without aliasing, input+output states
     # double-buffer ~5.4 GB of fp32 params/adam/EMA on a 16 GB chip and the
-    # 9,600-frame budget only fits under aggressive remat. Donation is a
-    # no-op on CPU (tests that reuse a state still pass there); every
-    # production caller rebinds `state = train_step(state, ...)`.
+    # 9,600-frame budget only fits under aggressive remat. Donation is
+    # honored on CPU too — init_train_state copies caller params so only
+    # state buffers (always rebound via `state = train_step(state, ...)`)
+    # are ever invalidated.
     donate_argnums=(0,),
 )
 def train_step(
