@@ -189,6 +189,58 @@ def mode_tpu():
         "mean_abs_mel_fp32": scale, **out}})
 
 
+def mode_tpu_int8attn():
+    # real TPU; int8 weights + int8 QK/PV attention dots (F5_TTS_INT8_ATTN=1)
+    # vs the fp32 reference sampler. Separate process from mode_tpu because
+    # the env gate is read at trace time; the fp32 base trace replays from the
+    # persistent compile cache.
+    import jax
+    import jax.numpy as jnp
+
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import torch
+
+    from korean_f5_tts_tpu.models.cfm import cfm_sample
+    from korean_f5_tts_tpu.models.quant import quantize_params
+
+    ref = _flagship_torch()
+    params32 = _flagship_jax_params(ref)
+    del ref
+    cfg = _our_cfg()
+
+    n, cond_len, steps, seed = 1536, 432, 16, 11
+    rng = np.random.default_rng(3)
+    cond = rng.standard_normal((1, cond_len, 100)).astype(np.float32)
+    text = np.array([np.arange(2, 2 + 180) % 250], dtype=np.int32)
+    torch.manual_seed(seed)
+    y0 = torch.randn(n, 100).numpy()[None]
+
+    def run(params, tag):
+        got, _ = cfm_sample(params, cfg, cond, text, n, steps=steps,
+                            cfg_strength=2.0, sway_sampling_coef=-1.0,
+                            use_epss=True, y0=y0, duration_bucket=512)
+        got = np.asarray(jax.device_get(got)).astype(np.float32)
+        print(f"{tag} done", flush=True)
+        return got
+
+    os.environ["F5_TTS_INT8_ATTN"] = "0"
+    base = run(params32, "fp32")
+    scale = float(np.mean(np.abs(base))) or 1.0
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+        jax.tree_util.tree_map(jnp.asarray, params32))
+    q = quantize_params(params_bf16)
+    os.environ["F5_TTS_INT8_ATTN"] = "1"
+    got = run(q, "int8+attn")
+    _merge({"flagship_tpu_int8_attn": {
+        "n": n, "nfe": steps, "cond_len": cond_len,
+        "mel_mae": float(np.mean(np.abs(got - base))),
+        "rel": float(np.mean(np.abs(got - base))) / scale,
+        "note": "int8 weights AND int8 QK/PV attention dots vs fp32 sampler"}})
+
+
 def mode_trained_int8():
     import jax
     import jax.numpy as jnp
@@ -251,7 +303,8 @@ def mode_trained_int8():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=["fp32", "tpu", "trained_int8"])
+                    choices=["fp32", "tpu", "trained_int8", "tpu_int8attn"])
     a = ap.parse_args()
     {"fp32": mode_fp32, "tpu": mode_tpu,
-     "trained_int8": mode_trained_int8}[a.mode]()
+     "trained_int8": mode_trained_int8,
+     "tpu_int8attn": mode_tpu_int8attn}[a.mode]()
