@@ -58,3 +58,30 @@ ckpts:
     main(["-c", str(yaml_path), "--max_updates", "2",
           "ckpts.save_dir=ckpts/tinyrun"])
     assert os.path.exists(tmp_path / "ckpts" / "tinyrun" / "model_last.npz")
+
+
+def test_shipped_configs_parse():
+    """Every yaml in configs/ must resolve through the train.py loading path:
+    model_config_from_dict + a known tokenizer mode + Trainer-known keys."""
+    import glob
+
+    import yaml
+
+    from korean_f5_tts_tpu.config import PRESETS, model_config_from_dict
+    from korean_f5_tts_tpu.text.vocab import VOCAB_FILE_TOKENIZERS
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert paths, "configs/ must ship training yamls"
+    for p in paths:
+        cfg = yaml.safe_load(open(p, encoding="utf-8"))
+        mc = model_config_from_dict(cfg)
+        assert mc.backbone in ("DiT", "UNetT", "MMDiT"), p
+        # named presets must agree with the preset table (arch drift guard)
+        if mc.name in PRESETS:
+            want = PRESETS[mc.name]["arch"]
+            got = {k: getattr(mc.arch, k) for k in want}
+            assert got == want, (p, got, want)
+        tok = cfg["model"]["tokenizer"]
+        assert tok in VOCAB_FILE_TOKENIZERS + ["byte", "custom"], (p, tok)
+        assert cfg["datasets"]["batch_size_type"] in ("frame", "sample"), p
