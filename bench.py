@@ -21,6 +21,29 @@ import numpy as np
 BASELINE_RTF = 0.0394  # L20 Triton+TRT-LLM, concurrency 2, 16 NFE
 
 
+def _wait_for_backend(max_wait_s: float = 600.0):
+    """The TPU relay has transient outages (observed: minutes to hours).
+    Retry backend init so a bench launched during a blip still records a
+    number instead of an UNAVAILABLE traceback. Covers the fail-fast outage
+    mode (UNAVAILABLE raised in ~1 s); in the hang mode jax.devices() blocks
+    inside the plugin and no in-process retry can run — bound those with an
+    external `timeout`."""
+    import jax
+    import jax.extend.backend as jex_backend
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if time.time() > deadline:
+                raise
+            print(f"backend unavailable ({e}); retrying in 30 s", flush=True)
+            time.sleep(30)
+            # jax caches the failed backend; clear so the next try re-inits
+            jex_backend.clear_backends()
+
+
 def main():
     import os
 
@@ -29,6 +52,7 @@ def main():
 
     from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
 
+    _wait_for_backend()
     enable_compilation_cache()
 
     from korean_f5_tts_tpu.config import DiTConfig
