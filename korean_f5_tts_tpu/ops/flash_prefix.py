@@ -561,12 +561,12 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
 
 def _kernel_i8(kvlen_ref, c_ref, sv_ref, q_ref, k_ref, v_ref, o_ref,
                m_scr, l_scr, acc_scr,
-               *, ck: int, prune: bool, pv_i8: bool):
+               *, ck: int, prune: bool, pv_i8: bool, nn_qk: bool):
     h = pl.program_id(0)
     kvlen = kvlen_ref[h]
     c = c_ref[h]                                       # dequant * sm * log2e
     sv = sv_ref[h]                                     # v scale / 127 (p)
-    n = k_ref.shape[1]
+    n = v_ref.shape[1]
     d = q_ref.shape[-1]
     q = q_ref[0]                                       # [bq, d] int8
     m_scr[...] = jnp.full(m_scr.shape, MASK_VALUE, jnp.float32)
@@ -574,10 +574,19 @@ def _kernel_i8(kvlen_ref, c_ref, sv_ref, q_ref, k_ref, v_ref, o_ref,
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
 
     def _chunk(start, size):
-        k = k_ref[0, pl.ds(start, size), :]            # [ck, d] int8
-        s32 = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)          # [bq, ck]
+        if nn_qk:
+            # k arrives pre-transposed [d, n]: the contraction hits dim 0
+            # of the right operand (NN form) — Mosaic has no native int8
+            # operand transpose, so the NT form pays a relayout per chunk
+            kt = k_ref[0, :, pl.ds(start, size)]       # [d, ck] int8
+            s32 = jax.lax.dot_general(
+                q, kt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)      # [bq, ck]
+        else:
+            k = k_ref[0, pl.ds(start, size), :]        # [ck, d] int8
+            s32 = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)      # [bq, ck]
         s = s32.astype(jnp.float32) * c                # base-2 domain
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
         s = jnp.where(col < kvlen, s, MASK_VALUE)
@@ -612,12 +621,14 @@ def _kernel_i8(kvlen_ref, c_ref, sv_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("bq", "ck", "prune", "pv_i8", "out_dtype"))
+                   static_argnames=("bq", "ck", "prune", "pv_i8", "nn_qk",
+                                    "out_dtype"))
 def _flash_prefix_folded_i8(q8, k8, v, c, sv, kv_lens,
                             bq: int = 256, ck: int = 512,
                             prune: bool = False, pv_i8: bool = True,
-                            out_dtype=jnp.bfloat16):
-    """q8, k8: [H, n, d] int8; v: int8 (pv_i8) or bf16; c, sv: [H] f32."""
+                            nn_qk: bool = True, out_dtype=jnp.bfloat16):
+    """q8: [H, n, d] int8; k8: [H, d, n] (nn_qk) or [H, n, d] int8;
+    v: int8 (pv_i8) or bf16 [H, n, d]; c, sv: [H] f32."""
     H, n, d = q8.shape
     assert n % bq == 0 and n % LANES == 0, (n, bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -625,7 +636,8 @@ def _flash_prefix_folded_i8(q8, k8, v, c, sv, kv_lens,
         grid=(H, n // bq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
-            pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
+            (pl.BlockSpec((1, d, n), lambda h, i, *_: (h, 0, 0)) if nn_qk
+             else pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0))),
             pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
@@ -635,7 +647,8 @@ def _flash_prefix_folded_i8(q8, k8, v, c, sv, kv_lens,
             pltpu.VMEM((bq, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_kernel_i8, ck=ck, prune=prune, pv_i8=pv_i8)
+    kernel = functools.partial(_kernel_i8, ck=ck, prune=prune, pv_i8=pv_i8,
+                               nn_qk=nn_qk)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -677,6 +690,9 @@ def flash_prefix_attention_i8(q: jax.Array, k: jax.Array, v: jax.Array,
     lens_h = jnp.repeat(lens, h)
     q8, aq = _quant_head(q.reshape(b * h, n, d))
     k8, ak = _quant_head(k.reshape(b * h, n, d))
+    # k pre-transposed in HBM so the kernel's QK dot is NN form (int8 has
+    # no native MXU operand transpose; the XLA relayout here is one pass)
+    k8 = jnp.swapaxes(k8, 1, 2)
     c = aq * ak * ((1.0 / 127.0 ** 2) * LOG2E / math.sqrt(d))
     if pv_i8:
         v8, av = _quant_head(v.reshape(b * h, n, d))
