@@ -55,6 +55,43 @@ class TestNativeBatcher:
         assert ids == [1, 2]
 
 
+
+    @pytest.mark.parametrize("force_python", [False, True])
+    def test_concurrent_submit_stress(self, force_python, monkeypatch):
+        """SURVEY §5.2: many producer threads + one consumer; every id must
+        come back exactly once, grouped by its own bucket, batches capped."""
+        if force_python:
+            from korean_f5_tts_tpu.serving import native as native_mod
+
+            monkeypatch.setattr(native_mod, "_load_lib", lambda: None)
+        b = NativeBatcher(max_batch=4, max_wait_us=2_000)
+        n_threads, per_thread = 8, 50
+        buckets = [128, 256, 512, 1024]
+
+        def producer(t):
+            rng = np.random.default_rng(t)
+            for j in range(per_thread):
+                rid = t * per_thread + j
+                b.submit(rid, bucket=buckets[rng.integers(0, len(buckets))])
+                if j % 17 == 0:
+                    time.sleep(0.0005)
+
+        threads = [threading.Thread(target=producer, args=(t,))
+                   for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        got = {}
+        deadline = time.time() + 30.0
+        while len(got) < n_threads * per_thread and time.time() < deadline:
+            bucket, ids = b.next_batch(timeout_us=100_000)
+            assert len(ids) <= 4
+            for rid in ids:
+                assert rid not in got, f"duplicate {rid}"
+                got[rid] = bucket
+        for t in threads:
+            t.join()
+        assert len(got) == n_threads * per_thread
+
 class TestPcmHelpers:
     def test_f32_to_i16_clamps(self):
         out = f32_to_i16(np.array([0.0, 1.5, -1.5, 0.5], np.float32))
