@@ -368,23 +368,50 @@ def make_handler(service: TTSService):
 
 
 def warm_start(model_obj, vocoder, buckets: list[int] = (512, 1024, 1536),
-               nfe_step: int = 16) -> None:
+               nfe_step: int = 16, batch_sizes: tuple = (1,),
+               text_tokens: int = 16) -> None:
     """Precompile the sampler+vocoder for the serving duration buckets so the
-    first real request doesn't pay the (minutes-long on TPU) compile."""
+    first real request doesn't pay the (minutes-long on TPU) compile.
+
+    batch_sizes: the dynamic batcher compiles ONE graph per (batch, bucket)
+    pair — under concurrency the batch path hits b=2..max_batch shapes, each
+    a fresh multi-minute TPU compile mid-request unless warmed here. Warms
+    the SAME graph the service dispatches: fused DiT+vocoder when the vocoder
+    exposes params/vcfg (mirrors TTSService.vocoder_fused), per-item
+    duration/lens arrays like _synthesize_batch.
+
+    text_tokens: expected request token count — the compiled shape also keys
+    on the 64-token text-axis bucket, so warm with a length that lands in the
+    same bucket as real traffic (chars ≈ tokens for the char tokenizer)."""
     import jax.numpy as jnp
 
     from korean_f5_tts_tpu.models.cfm import cfm_sample
 
+    fused = ((vocoder.params, vocoder.vcfg)
+             if vocoder is not None and hasattr(vocoder, "params")
+             and hasattr(vocoder, "vcfg") else None)
     d = model_obj.mel.n_mel_channels
     for n in buckets:
-        cond = np.zeros((1, min(256, n // 2), d), np.float32)
-        text = np.zeros((1, 16), np.int32)
-        out, _ = cfm_sample(model_obj.params, model_obj.arch, cond, text,
-                            duration=n, steps=nfe_step, cfg_strength=2.0,
-                            sway_sampling_coef=-1.0, seed=0, duration_bucket=n)
-        if vocoder is not None:
-            float(jnp.abs(vocoder(jnp.swapaxes(out, 1, 2))).sum())
-        print(f"warmed bucket {n}")
+        for b in batch_sizes:
+            cond = np.zeros((b, min(256, n // 2), d), np.float32)
+            text = np.zeros((b, max(1, text_tokens)), np.int32)
+            lens = np.full((b,), cond.shape[1], np.int64)
+            # duration strictly below the bucket: real requests almost never
+            # land exactly on N, and max_dur < N is what instantiates the
+            # bucket-tail pad_mask — duration == N would warm the (rare)
+            # unmasked graph variant instead of the one traffic hits
+            dur = max(n - 64, cond.shape[1] + 2, text_tokens + 2)
+            out, wav = cfm_sample(
+                model_obj.params, model_obj.arch, cond, text,
+                duration=np.full((b,), dur, np.int64), lens=lens,
+                steps=nfe_step, cfg_strength=2.0,
+                sway_sampling_coef=-1.0, seed=0, duration_bucket=n,
+                vocoder_fused=fused)
+            if fused is not None:
+                float(jnp.abs(wav).sum())
+            elif vocoder is not None:
+                float(jnp.abs(vocoder(jnp.swapaxes(out, 1, 2))).sum())
+            print(f"warmed bucket {n} batch {b}")
     if vocoder is not None:
         # the batch path decodes generated mels at 256-frame-bucketed
         # lengths; warm every multiple the largest sampler bucket can hit
@@ -416,6 +443,12 @@ def main(argv=None):
     parser.add_argument("--device", default=None)
     parser.add_argument("--warm_buckets", type=int, nargs="*", default=[1024],
                         help="precompile these duration buckets before serving")
+    parser.add_argument("--warm_batch_sizes", type=int, nargs="*", default=[1],
+                        help="precompile these batch sizes per bucket (the "
+                             "batcher forms one graph per (batch, bucket))")
+    parser.add_argument("--warm_text_tokens", type=int, default=16,
+                        help="token count used for warm graphs; pick the "
+                             "64-token bucket real traffic lands in")
     args = parser.parse_args(argv)
     if args.device:
         import jax
@@ -435,7 +468,9 @@ def main(argv=None):
                            vocab_file=args.vocab_file, tokenizer=args.tokenizer)
     vocoder = load_vocoder("vocos")
     if args.warm_buckets:
-        warm_start(model_obj, vocoder, args.warm_buckets, args.nfe_step)
+        warm_start(model_obj, vocoder, args.warm_buckets, args.nfe_step,
+                   batch_sizes=tuple(args.warm_batch_sizes),
+                   text_tokens=args.warm_text_tokens)
     httpd, _ = serve(model_obj, vocoder, port=args.port, max_batch=args.max_batch,
                      max_wait_us=args.max_wait_us, nfe_step=args.nfe_step)
     httpd.serve_forever()

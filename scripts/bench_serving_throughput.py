@@ -76,7 +76,12 @@ def main(argv=None):
     # duration estimate scales with target/ref text length ratio
     target_text = ref_text * max(1, int(args.gen_seconds / 4.6))
 
-    warm_start(model, vocoder, buckets=(1536,), nfe_step=args.nfe_step)
+    # warm every (batch, bucket, text-bucket) shape the batcher can form at
+    # the swept concurrencies — an unwarmed batch shape is a multi-minute
+    # mid-request TPU compile that lands in the p95 column
+    warm_start(model, vocoder, buckets=(1536,), nfe_step=args.nfe_step,
+               batch_sizes=tuple(range(1, max(args.concurrency) + 1)),
+               text_tokens=len(ref_text + target_text))
     httpd, service = serve(model, vocoder, host="127.0.0.1", port=0,
                            max_batch=8, nfe_step=args.nfe_step)
     port = httpd.server_address[1]
