@@ -46,6 +46,36 @@ class TTSModel:
         mel = log_mel_spectrogram(jnp.asarray(wav, dtype=jnp.float32)[None], self.mel)
         return np.asarray(mel)[0].T
 
+    # serving ref-mel frame buckets: refs are capped at 12 s (1126 frames at
+    # 24 kHz / hop 256), so three wav-length buckets bound the upload padding
+    # at ~2x while keeping the jitted front-end to <= 3 compiled shapes
+    REF_FRAME_BUCKETS = (384, 768, 1152)
+
+    def mel_of_wav_device(self, wav: np.ndarray) -> tuple[jax.Array, int]:
+        """[n] waveform -> ([1, REF_FRAME_BUCKETS[-1], n_mels] DEVICE mel, n_frames).
+
+        Serving fast-path front-end: exact (the variant's reflect padding runs
+        on host so the jitted center=False program sees the same samples as
+        `mel_of_wav`), one device dispatch, result stays on device — rows
+        >= n_frames are garbage/zero and must be masked by the consumer
+        (models/cfm.serve_sample masks cond rows >= lens).
+        """
+        from korean_f5_tts_tpu.ops.mel import log_mel_prepadded
+
+        wav = np.asarray(wav, np.float32).reshape(-1)
+        cfg = self.mel
+        hop, n_fft = cfg.hop_length, cfg.n_fft
+        pad = n_fft // 2 if cfg.mel_spec_type == "vocos" else (n_fft - hop) // 2
+        out_frames = self.REF_FRAME_BUCKETS[-1]
+        # clamp to the largest bucket (serving clips refs to 12 s well below it)
+        max_nw = (out_frames - 1) * hop + n_fft - 2 * pad
+        x = np.pad(wav[:max_nw], (pad, pad), mode="reflect")
+        n_frames = (x.size - n_fft) // hop + 1
+        f_b = next(f for f in self.REF_FRAME_BUCKETS if f >= n_frames)
+        l_b = (f_b - 1) * hop + n_fft
+        x = np.pad(x, (0, l_b - x.size))
+        return log_mel_prepadded(x[None], cfg, out_frames), int(n_frames)
+
 
 _INIT_FNS = {"DiT": init_dit, "UNetT": init_unett, "MMDiT": init_mmdit}
 

@@ -191,6 +191,163 @@ def _sample_core_vocos(
 @functools.partial(
     jax.jit,
     static_argnames=(
+        "arch", "vcfg", "N", "steps", "use_cfg", "use_sway", "use_epss",
+        "canon", "single",
+    ),
+)
+def _serve_core_vocos(
+    params: dict,
+    voc_params: dict,
+    arch: DiTConfig,
+    cond_b: jax.Array,       # [b, Bc, d] bucketed ref mel (rows >= lens: garbage)
+    lens: jax.Array,         # [b] true ref frame counts
+    duration: jax.Array,     # [b] total frames (already floored/clamped on host)
+    text: jax.Array,         # [b, nt] ids, pad=-1 (host-bucketed)
+    seeds: jax.Array,        # [b] uint32 noise seeds (identical rows = shared noise)
+    cfg_strength: jax.Array,
+    sway_coef: jax.Array,
+    wav_scale: jax.Array,    # [b] per-item output gain (RMS restore), in-graph
+    *,
+    vcfg,
+    N: int,
+    steps: int,
+    use_cfg: bool,
+    use_sway: bool,
+    use_epss: bool,
+    canon: int,
+    single: bool,
+):
+    """Serving fast path: the ENTIRE request-side device work as ONE program.
+
+    `cfm_sample` keeps its prologue (cond pad, masks, noise, splice) in eager
+    jnp ops — harmless locally, but through the TPU relay every eager op is a
+    separate ~25 ms dispatch, which dominated served latency (the profile in
+    scripts/profile_serving_request.py measured 383 ms for the eager mel
+    front-end alone). Here masks, cond padding, seeded noise, the Euler scan,
+    the cond splice, the Vocos decode, the RMS restore, and the int16
+    quantization all live in one jitted graph: one dispatch, one int16
+    readback (half the f32 relay transfer). Role parity: the reference's
+    single TRT engine execution per request (f5_tts_trtllm.py:296-372).
+
+    Semantics match cfm_sample exactly (tests/test_serving.py pins it):
+    noise is drawn per item at `canon` length and sliced to N
+    (cfm.py:194-201 parity — identical seeds give the batch one shared noise
+    tensor), masks derive from lens/duration like the host prologue, and the
+    int16 conversion mirrors serving/native.py f32_to_i16.
+    """
+    from korean_f5_tts_tpu.models.vocos import vocos_decode
+
+    b, Bc, d = cond_b.shape
+    # run the sampler at the model's compute dtype (the bf16 headline path,
+    # bench.py:63-108): a bf16-weighted model with f32 cond would keep fp32
+    # attention logits and lose the headline RTF. Param dtypes are static at
+    # trace time, so f32 (parity) models keep the exact fp32 path.
+    leaves = jax.tree_util.tree_leaves(params)
+    cdt = (jnp.bfloat16 if any(x.dtype == jnp.bfloat16 for x in leaves)
+           else cond_b.dtype)
+    cond_b = cond_b.astype(cdt)
+    ar = jnp.arange(N)
+    cond_mask = ar[None, :] < lens[:, None]
+    cond_p = cond_b[:, :N] if Bc >= N else jnp.pad(
+        cond_b, ((0, 0), (0, N - Bc), (0, 0)))
+    step_cond = jnp.where(cond_mask[..., None], cond_p, 0.0)
+    dur_mask = ar[None, :] < duration[:, None]
+    # reference-semantics duration mask only for b > 1 (cfm.py:156-158);
+    # bucket-tail pad mask always (traced: all-true when max_dur == N)
+    mask = None if single else dur_mask
+    pad_mask = (ar[None, :] < jnp.max(duration)).reshape(1, N)
+    y0 = jax.vmap(
+        lambda s: jax.random.normal(jax.random.PRNGKey(s), (canon, d),
+                                    dtype=step_cond.dtype)
+    )(seeds)[:, :N]
+    y0 = jnp.where(dur_mask[..., None], y0, 0.0)
+
+    mel = _sample_core.__wrapped__(
+        params, arch, step_cond, text, mask, pad_mask, y0,
+        cfg_strength, sway_coef, steps=steps, use_cfg=use_cfg,
+        use_sway=use_sway, use_epss=use_epss, t_start=0.0,
+    )
+    out = jnp.where(cond_mask[..., None], step_cond, mel)
+    wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2), vcfg)
+    wav = wav.astype(jnp.float32) * wav_scale[:, None]
+    return jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+
+
+def serve_sample(
+    params: dict,
+    arch: DiTConfig,
+    cond_b,                  # [b, Bc, d] device (or host) bucketed ref mels
+    text,                    # [b, nt] ids, pad=-1
+    duration,                # [b] host ints: requested total frames
+    lens,                    # [b] host ints: true ref frame counts
+    *,
+    vocoder_fused: tuple,    # (voc_params, VocosConfig)
+    steps: int = 16,
+    cfg_strength: float = 2.0,
+    sway_sampling_coef: float | None = -1.0,
+    seed: int | None = None,
+    wav_scale=None,          # [b] host floats; None = 1.0
+    max_duration: int = 4096,
+    duration_bucket: int | None = None,
+    use_epss: bool = True,
+):
+    """Host wrapper for the serving fast path. Returns (wav_i16 device array
+    [b, N*hop], duration[b]) — the caller materializes and slices per item.
+
+    Host side is numpy-only (duration floor/clamp per cfm.py:135-139, text
+    64-token bucketing, noise seeds); every device op lives in the single
+    jitted _serve_core_vocos program.
+    """
+    text_host = np.asarray(text)
+    lens = np.asarray(lens)
+    duration = np.asarray(duration)
+    text_lens = (text_host != -1).sum(axis=-1)
+    duration = np.maximum(np.maximum(text_lens, lens) + 1, duration)
+    duration = np.clip(duration, None, max_duration)
+    max_dur = int(duration.max())
+    if duration_bucket is None:
+        duration_bucket = _default_duration_bucket()
+    N = min(int(np.ceil(max_dur / duration_bucket)) * duration_bucket, max_duration)
+    N = max(N, max_dur)
+    b = text_host.shape[0]
+    import os as _os
+
+    tb = int(_os.environ.get("F5_TTS_TEXT_BUCKET", "64"))
+    if tb > 0 and not isinstance(arch, MMDiTConfig):
+        nt = text_host.shape[1]
+        ntb = max(tb, int(np.ceil(nt / tb)) * tb)
+        if ntb != nt:
+            text_host = np.pad(text_host, ((0, 0), (0, ntb - nt)),
+                               constant_values=-1)
+    if seed is None:
+        import secrets
+
+        seeds = np.asarray([secrets.randbits(31) for _ in range(b)], np.uint32)
+    else:
+        # & 0xFFFFFFFF: in-graph PRNGKey takes a 32-bit operand; matches
+        # cfm_sample's PRNGKey(seed) for all seeds < 2**32
+        seeds = np.full((b,), int(seed) & 0xFFFFFFFF, np.uint32)
+    if wav_scale is None:
+        wav_scale = np.ones((b,), np.float32)
+    voc_params, vcfg = vocoder_fused
+    wav_i16 = _serve_core_vocos(
+        params, voc_params, arch, cond_b,
+        np.asarray(lens, np.int32), np.asarray(duration, np.int32),
+        text_host, seeds,
+        np.float32(cfg_strength), np.float32(sway_sampling_coef or 0.0),
+        np.asarray(wav_scale, np.float32),
+        vcfg=vcfg, N=int(N), steps=int(steps),
+        use_cfg=float(cfg_strength) > 1e-5,
+        use_sway=sway_sampling_coef is not None,
+        use_epss=bool(use_epss), canon=max(int(max_duration), int(N)),
+        single=b == 1,
+    )
+    return wav_i16, duration
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
         "arch", "steps", "use_cfg", "use_sway", "use_epss", "t_start",
     ),
 )

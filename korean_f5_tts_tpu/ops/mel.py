@@ -202,6 +202,35 @@ def log_mel_spectrogram(wav: jax.Array, cfg: MelConfig) -> jax.Array:
     raise ValueError(f"unknown mel_spec_type: {cfg.mel_spec_type}")
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "out_frames"))
+def log_mel_prepadded(wav_padded: jax.Array, cfg: MelConfig,
+                      out_frames: int) -> jax.Array:
+    """[b, L] pre-padded waveform -> [b, out_frames, n_mels] log-mel.
+
+    Serving front-end: the caller performs the variant's reflect padding on
+    HOST (exact, per-request numpy) and zero-pads to a bucketed length
+    L = (F_b - 1)*hop + n_fft, so this jitted center=False program has a
+    handful of fixed shapes instead of one per wav length. Through the TPU
+    relay the eager `log_mel_spectrogram` chain was ~15 separate ~25 ms
+    dispatches (383 ms/request measured by scripts/profile_serving_request.py);
+    this is ONE. Frames beyond the true count read zero-pad samples and are
+    garbage — callers mask rows >= the true frame count (cfm step_cond does).
+    Frame rows out to `out_frames` are zero-padded so every wav bucket yields
+    one cond shape. Output layout is [b, frames, n_mels] (already transposed
+    for the sampler's cond input).
+    """
+    fb = mel_filterbank(cfg)
+    eps = 1e-9 if cfg.mel_spec_type == "bigvgan" else 0.0
+    spec = stft_spectrogram(wav_padded, cfg.n_fft, cfg.hop_length,
+                            cfg.win_length, center=False, magnitude_eps=eps)
+    mel = jnp.einsum("bft,fm->btm", spec, fb)  # [b, F, n_mels]
+    mel = jnp.log(jnp.clip(mel, 1e-5, None))
+    F = mel.shape[1]
+    if out_frames > F:
+        mel = jnp.pad(mel, ((0, 0), (0, out_frames - F), (0, 0)))
+    return mel[:, :out_frames]
+
+
 # ---------------------------------------------------------------------------
 # ISTFT (for the Vocos head)
 # ---------------------------------------------------------------------------

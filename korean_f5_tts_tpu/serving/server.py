@@ -62,6 +62,11 @@ class TTSService:
         self.nfe_step = nfe_step
         self.max_duration = max_duration  # sampler frame cap (engine max_seq_len role)
         self.batcher = NativeBatcher(max_batch=max_batch, max_wait_us=max_wait_us)
+        # device-resident ref-mel cache: preprocessing + the jitted mel
+        # front-end run once per distinct reference (keyed by content hash);
+        # repeat requests skip the wav upload and mel program entirely
+        self._mel_cache: dict[tuple, tuple] = {}
+        self._mel_cache_cap = 64
         self.pending: dict[int, _Pending] = {}
         self.lock = threading.Lock()
         self.counter = 0
@@ -137,7 +142,10 @@ class TTSService:
                            p.get("seed"))
                     groups.setdefault(sig, []).append(it)
                 for group in groups.values():
-                    if len(group) > 1:
+                    if self.vocoder_fused is not None:
+                        # one-dispatch fast path (single requests AND batches)
+                        self._synthesize_fast(group)
+                    elif len(group) > 1:
                         self._synthesize_batch(group, bucket)
                     else:
                         group[0].result = self._synthesize(group[0].payload)
@@ -151,6 +159,106 @@ class TTSService:
             self.stats["batches"] += 1
             self.stats["batch_sizes"].append(len(items))
             self.stats["latency_ms"].append(dt / max(len(items), 1))
+
+    def _ref_mel(self, p: dict) -> tuple:
+        """Preprocess + mel one reference, cached ON DEVICE by content hash.
+
+        Returns ([1, Bc, d] device mel, n_frames, rms). Preprocessing order
+        matches infer_batch_process (utils_infer.py:264-276): mono, RMS boost
+        below target_rms, resample, 12 s clip."""
+        import hashlib
+
+        from korean_f5_tts_tpu.infer.utils_infer import target_rms, target_sample_rate
+        from korean_f5_tts_tpu.utils import audio as au
+
+        wav = np.asarray(p["ref_wav"], np.float32)
+        key = (hashlib.sha1(wav.tobytes()).hexdigest(), int(p["sr"]))
+        with self.lock:
+            hit = self._mel_cache.get(key)
+        if hit is not None:
+            return hit
+        wav = au.to_mono(wav)
+        r = au.rms(wav)
+        if 0 < r < target_rms:
+            wav = wav * (target_rms / r)
+        if int(p["sr"]) != target_sample_rate:
+            wav = au.resample(wav, int(p["sr"]), target_sample_rate)
+        wav = wav[: 12 * target_sample_rate]
+        mel_dev, n_frames = self.model.mel_of_wav_device(wav)
+        entry = (mel_dev, n_frames, float(r))
+        with self.lock:
+            if len(self._mel_cache) >= self._mel_cache_cap:
+                self._mel_cache.pop(next(iter(self._mel_cache)))
+            self._mel_cache[key] = entry
+        return entry
+
+    def _synthesize_fast(self, items: list[_Pending]) -> None:
+        """One-dispatch serving: cached device ref mels -> serve_sample (all
+        request-side device work as ONE jitted program, int16 readback).
+
+        Replaces the eager-mel + two-program route whose front-end alone
+        measured 383 ms/request through the TPU relay
+        (scripts/profile_serving_request.py). The batch key guarantees every
+        item shares (nfe, cfg, sway, seed)."""
+        import jax.numpy as jnp
+
+        from korean_f5_tts_tpu.infer.utils_infer import (
+            hop_length,
+            target_rms,
+            target_sample_rate,
+        )
+        from korean_f5_tts_tpu.models.cfm import serve_sample
+        from korean_f5_tts_tpu.text.vocab import list_str_to_idx, tokenize_text
+
+        mels, texts, durations, lens, scales = [], [], [], [], []
+        for it in items:
+            p = it.payload
+            mel_dev, n_frames, r = self._ref_mel(p)
+            mels.append(mel_dev)
+            lens.append(n_frames)
+            ref_text = p["ref_text"]
+            if ref_text and len(ref_text[-1].encode()) == 1:
+                ref_text += " "
+            gen_text = p["target_text"]
+            texts.append(ref_text + gen_text)
+            # byte-ratio duration with the reference's short-text slowdown
+            # (utils_infer.py:278-300 semantics)
+            speed = 0.3 if len(gen_text.encode()) < 10 else 1.0
+            ratio = len(gen_text.encode()) / max(len(ref_text.encode()), 1)
+            durations.append(n_frames + int(n_frames * ratio / speed))
+            scales.append(r / target_rms if 0 < r < target_rms else 1.0)
+
+        token_lists = tokenize_text(
+            texts, tokenizer_type=self.model.tokenizer_type,
+            vocab=self.model.vocab_char_map,
+            use_n2gk_plus=self.model.use_n2gk_plus,
+            use_skip_tc=self.model.use_skip_tc,
+            legacy=self.model.tokenizer_legacy,
+        )
+        text_ids = np.asarray(
+            list_str_to_idx(token_lists, self.model.vocab_char_map or {" ": 0}))
+        cond_b = mels[0] if len(mels) == 1 else jnp.concatenate(mels, axis=0)
+        p0 = items[0].payload
+        wav_i16, durs = serve_sample(
+            self.model.params, self.model.arch, cond_b, text_ids,
+            np.asarray(durations), np.asarray(lens),
+            vocoder_fused=self.vocoder_fused,
+            steps=int(p0.get("nfe_step", self.nfe_step)),
+            cfg_strength=float(p0.get("cfg_strength", 2.0)),
+            sway_sampling_coef=float(p0.get("sway_sampling_coef", -1.0)),
+            seed=p0.get("seed"),
+            wav_scale=np.asarray(scales, np.float32),
+            max_duration=self.max_duration,
+        )
+        wav_np = np.asarray(wav_i16)  # ONE readback, int16 (half the f32 bytes)
+        for i, it in enumerate(items):
+            lo = int(lens[i]) * hop_length
+            hi = (int(durs[i]) - 1) * hop_length
+            w = wav_np[i, lo:hi]
+            if w.size == 0:
+                w = np.zeros(hop_length, np.int16)
+            it.result = (w, target_sample_rate)
+            self.stats["requests"] += 1
 
     def _synthesize_batch(self, items: list[_Pending], bucket: int) -> None:
         """True batched synthesis: one cfm_sample over the whole batch with
@@ -282,8 +390,10 @@ class TTSService:
 def _wav_bytes(wav: np.ndarray, sr: int) -> bytes:
     from scipy.io import wavfile
 
+    wav = np.asarray(wav)
     buf = io.BytesIO()
-    wavfile.write(buf, sr, f32_to_i16(wav))
+    # the fast path already quantized to int16 in-graph; legacy paths are f32
+    wavfile.write(buf, sr, wav if wav.dtype == np.int16 else f32_to_i16(wav))
     return buf.getvalue()
 
 
@@ -391,6 +501,34 @@ def warm_start(model_obj, vocoder, buckets: list[int] = (512, 1024, 1536),
              if vocoder is not None and hasattr(vocoder, "params")
              and hasattr(vocoder, "vcfg") else None)
     d = model_obj.mel.n_mel_channels
+    if fused is not None:
+        # warm the graphs the fast path actually dispatches: the jitted mel
+        # front-end (one shape per ref wav bucket) and serve_sample's fused
+        # program per (batch, duration bucket)
+        from korean_f5_tts_tpu.models.cfm import serve_sample
+
+        hop = model_obj.mel.hop_length
+        for f_b in model_obj.REF_FRAME_BUCKETS:
+            dev, _ = model_obj.mel_of_wav_device(
+                np.zeros((f_b - 1) * hop, np.float32))
+        float(jnp.abs(dev).sum())
+        print(f"warmed mel front-end buckets {model_obj.REF_FRAME_BUCKETS}")
+        bc = model_obj.REF_FRAME_BUCKETS[-1]
+        for n in buckets:
+            for b in batch_sizes:
+                cond = jnp.zeros((b, bc, d), jnp.float32)
+                text = np.zeros((b, max(1, text_tokens)), np.int32)
+                lens = np.full((b,), min(256, n // 2), np.int64)
+                dur = np.full(
+                    (b,), max(n - 64, int(lens[0]) + 2, text_tokens + 2),
+                    np.int64)
+                wav, _ = serve_sample(
+                    model_obj.params, model_obj.arch, cond, text, dur, lens,
+                    vocoder_fused=fused, steps=nfe_step, cfg_strength=2.0,
+                    sway_sampling_coef=-1.0, seed=0, duration_bucket=n)
+                np.asarray(wav)
+                print(f"warmed serve bucket {n} batch {b}")
+        return
     for n in buckets:
         for b in batch_sizes:
             cond = np.zeros((b, min(256, n // 2), d), np.float32)

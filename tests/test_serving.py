@@ -384,3 +384,175 @@ class TestFusedVocoderPath:
         wf, w2 = np.asarray(out_f[0]), np.asarray(out_2[0])
         assert wf.size > 0 and np.isfinite(wf).all()
         assert abs(wf.size - w2.size) <= 256  # same gen region length
+
+
+class TestServeFastPath:
+    """One-dispatch serving path: bucketed device mel front-end + serve_sample.
+
+    Pins serve_sample == cfm_sample semantics (masks, noise, splice, vocoder,
+    int16 quantization) and the service-level fast path end to end."""
+
+    def _build(self):
+        import jax
+
+        from korean_f5_tts_tpu.config import DiTConfig, ModelConfig
+        from korean_f5_tts_tpu.infer.model import load_model
+        from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos
+
+        arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                         mel_dim=100, text_num_embeds=40, text_dim=16,
+                         conv_layers=1)
+        model = load_model(ModelConfig(name="tiny", backbone="DiT", arch=arch,
+                                       tokenizer="custom"), use_n2gk_plus=False)
+        model.vocab_char_map = {c: i for i, c in
+                                enumerate(" abcdefghijklmnopqrstuvwxyz.,!")}
+        vcfg = VocosConfig(input_channels=100, dim=16, intermediate_dim=32,
+                           num_layers=1)
+        vparams = init_vocos(jax.random.PRNGKey(0), vcfg)
+        return model, (vparams, vcfg)
+
+    def test_mel_of_wav_device_exact(self):
+        model, _ = self._build()
+        sr = 24_000
+        rng = np.random.default_rng(3)
+        for seconds in (0.9, 4.0, 8.3):
+            wav = (0.1 * rng.standard_normal(int(seconds * sr))).astype(np.float32)
+            exact = model.mel_of_wav(wav)                    # [F, d] host
+            dev, n_frames = model.mel_of_wav_device(wav)     # [1, Bc, d] device
+            assert n_frames == exact.shape[0]
+            got = np.asarray(dev)[0, :n_frames]
+            assert np.abs(got - exact).max() < 2e-4
+
+    def test_serve_sample_matches_cfm_sample(self):
+        from korean_f5_tts_tpu.models.cfm import cfm_sample, serve_sample
+
+        model, fused = self._build()
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        mel = model.mel_of_wav(ref)                       # exact host mel
+        dev, n_frames = model.mel_of_wav_device(ref)
+        assert n_frames == mel.shape[0]
+
+        b = 2
+        text = np.full((b, 40), -1, np.int64)
+        text[0, :7] = [3, 4, 5, 0, 6, 7, 2]
+        text[1, :5] = [9, 8, 1, 1, 4]
+        # same 128-frame duration bucket for both items: cfm_sample would
+        # otherwise split the batch into per-bucket b=1 runs (different masks
+        # + vocoder lengths; only the valid gen region agrees then)
+        durations = np.array([n_frames + 60, n_frames + 93])
+        lens = np.full((b,), n_frames)
+
+        import jax.numpy as jnp
+
+        cond_b = jnp.concatenate([dev, dev], axis=0)
+        wav_i16, durs = serve_sample(
+            model.params, model.arch, cond_b, text, durations, lens,
+            vocoder_fused=fused, steps=2, cfg_strength=2.0,
+            sway_sampling_coef=-1.0, seed=5)
+        wav_i16 = np.asarray(wav_i16)
+        assert wav_i16.dtype == np.int16
+        assert (durs == durations).all()
+
+        cond = np.stack([mel, mel])
+        _, wav_ref = cfm_sample(
+            model.params, model.arch, cond, text, durations, lens=lens,
+            steps=2, cfg_strength=2.0, sway_sampling_coef=-1.0, seed=5,
+            vocoder_fused=fused)
+        ref_i16 = np.round(np.clip(np.asarray(wav_ref, np.float32), -1, 1)
+                           * 32767.0).astype(np.int16)
+        # identical graphs up to op ordering: allow 2 LSB of i16
+        assert wav_i16.shape == ref_i16.shape
+        assert np.abs(wav_i16.astype(np.int32) - ref_i16.astype(np.int32)).max() <= 2
+
+    def test_serve_sample_wav_scale(self):
+        from korean_f5_tts_tpu.models.cfm import serve_sample
+
+        model, fused = self._build()
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        dev, n_frames = model.mel_of_wav_device(ref)
+        text = np.full((1, 20), -1, np.int64)
+        text[0, :4] = [3, 4, 5, 6]
+        full, _ = serve_sample(model.params, model.arch, dev, text,
+                               np.array([n_frames + 40]), np.array([n_frames]),
+                               vocoder_fused=fused, steps=2, seed=1)
+        half, _ = serve_sample(model.params, model.arch, dev, text,
+                               np.array([n_frames + 40]), np.array([n_frames]),
+                               vocoder_fused=fused, steps=2, seed=1,
+                               wav_scale=np.array([0.5], np.float32))
+        full, half = np.asarray(full, np.int32), np.asarray(half, np.int32)
+        assert np.abs(half - (full * 0.5).round()).max() <= 2
+
+    def test_service_fast_path(self):
+        from korean_f5_tts_tpu.infer.utils_infer import hop_length
+        from korean_f5_tts_tpu.serving.server import TTSService, _Pending
+
+        model, fused = self._build()
+        svc = TTSService.__new__(TTSService)
+        svc.model, svc.vocoder, svc.nfe_step = model, None, 2
+        svc.vocoder_fused = fused
+        svc.max_duration = 256
+        svc.stats = {"requests": 0}
+        svc.lock = threading.Lock()
+        svc._mel_cache, svc._mel_cache_cap = {}, 64
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        items = [
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "one sentence.", "nfe_step": 2, "seed": 1}),
+            _Pending({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                      "target_text": "two longer.", "nfe_step": 2, "seed": 1}),
+        ]
+        svc._synthesize_fast(items)
+        for it in items:
+            assert it.error is None
+            wav, out_sr = it.result
+            assert out_sr == sr
+            assert wav.dtype == np.int16 and wav.size > 0
+            assert wav.size % hop_length == 0
+        # mel cache hit: both items share the ref -> a single cache entry
+        assert len(svc._mel_cache) == 1
+        assert svc.stats["requests"] == 2
+
+    def test_http_server_fast_path_roundtrip(self):
+        import jax
+
+        from scipy.io import wavfile
+
+        from korean_f5_tts_tpu.serving.server import serve
+
+        model, (vparams, vcfg) = self._build()
+        from korean_f5_tts_tpu.models.vocos import vocos_decode
+
+        vocoder = jax.jit(lambda m: vocos_decode(vparams, m, vcfg))
+        vocoder.params, vocoder.vcfg = vparams, vcfg  # api.load_vocoder shape
+        httpd, service = serve(model, vocoder, host="127.0.0.1", port=0,
+                               max_batch=2, max_wait_us=2_000, nfe_step=2)
+        assert service.vocoder_fused is not None
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            sr = 24_000
+            ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+            buf = io.BytesIO()
+            wavfile.write(buf, sr, (ref * 32767).astype(np.int16))
+            payload = {
+                "reference_audio": base64.b64encode(buf.getvalue()).decode(),
+                "reference_text": "hello there",
+                "target_text": "a quick test.",
+                "nfe_step": 2,
+                "seed": 7,
+            }
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tts", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                body = r.read()
+            out_sr, data = wavfile.read(io.BytesIO(body))
+            assert out_sr == sr
+            assert data.dtype == np.int16 and data.size > 0
+            assert np.isfinite(data.astype(np.float32)).all()
+        finally:
+            httpd.shutdown()
