@@ -97,8 +97,11 @@ def main(argv=None):
         load_test(url, reqs[:1], concurrency=1)
         for c in args.concurrency:
             r = load_test(url, reqs, concurrency=c)
+            mode = ("int8" if os.environ.get("F5_TTS_INT8", "0") != "0"
+                    else "bf16")
             r["protocol"] = ("http server + dynamic batcher, "
-                             + ("tiny (smoke)" if args.tiny else "flagship bf16"))
+                             + ("tiny (smoke)" if args.tiny
+                                else f"flagship {mode}"))
             print(json.dumps(r), flush=True)
     finally:
         del service
