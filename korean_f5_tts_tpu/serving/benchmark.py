@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import time
 
 import numpy as np
@@ -103,14 +104,18 @@ def run_latency_benchmark(model_obj, vocoder, n_items: int = 26,
     cond = rng.standard_normal((1, ref_frames, model_obj.mel.n_mel_channels)).astype(np.float32)
     text = rng.integers(1, max(model_obj.arch.text_num_embeds - 1, 2),
                         (1, 160)).astype(np.int32)
-    # Inputs committed to device OUTSIDE the timed region: the serving fast
+    # cond committed to device OUTSIDE the timed region: the serving fast
     # path caches the reference mel on device (serving/server.py device
     # ref-mel cache), so steady-state requests don't re-upload it. Through
-    # the test-harness relay each upload would otherwise add a ~30 ms
+    # the test-harness relay the upload would otherwise add a ~30 ms
     # roundtrip per request that no directly-attached deployment pays.
-    cond = jax.device_put(jnp.asarray(cond))
-    text = jax.device_put(jnp.asarray(text))
-    jax.block_until_ready((cond, text))
+    # text stays a HOST array: cfm_sample's prologue reads text back for
+    # host-side length math (models/cfm.py text_host), so a device-committed
+    # text would ADD a blocking relay readback per request. The fence is a
+    # host scalar readback (block_until_ready does not synchronize through
+    # the relay — CLAUDE.md).
+    cond = jnp.asarray(cond)
+    float(jnp.abs(cond).sum())
 
     def request():
         _, wav = cfm_sample(model_obj.params, model_obj.arch, cond, text,
@@ -133,18 +138,22 @@ def run_latency_benchmark(model_obj, vocoder, n_items: int = 26,
     roundtrip_ms = float(np.median(rts) * 1e3)
 
     # wav-sized readback: the roundtrip above moves a scalar, but each
-    # request reads back the full waveform (~1 MB f32 for 10 s @ 24 kHz),
-    # which through the relay tunnel costs extra transfer time that a
-    # directly-attached host does not pay. Measured with the same null
-    # program on a wav-shaped array so it can be attributed separately.
-    wav_elems = int((ref_seconds + gen_seconds) * 24_000)
-    nullw = jax.jit(lambda x: x + 1)
-    wz = jax.device_put(jnp.zeros((wav_elems,), jnp.float32))
-    np.asarray(nullw(wz))
+    # request reads back the full BUCKET-PADDED waveform (the fused program
+    # emits the duration bucket's worth of samples, not the exact request
+    # length), which through the relay tunnel costs extra transfer time
+    # that a directly-attached host does not pay. Measured with the same
+    # null program on an identically-sized array for separate attribution.
+    from korean_f5_tts_tpu.models.cfm import _default_duration_bucket
+
+    db = _default_duration_bucket()
+    bucket_frames = int(math.ceil(total_frames / db) * db)
+    wav_elems = bucket_frames * hop
+    wz = jnp.zeros((wav_elems,), jnp.float32)
+    np.asarray(null(wz))
     wts = []
     for _ in range(10):
         t0 = time.perf_counter()
-        np.asarray(nullw(wz))
+        np.asarray(null(wz))
         wts.append(time.perf_counter() - t0)
     wav_readback_ms = float(np.median(wts) * 1e3)
 

@@ -95,10 +95,10 @@ def main(argv=None):
     try:
         # one throwaway request compiles any leftover shape
         load_test(url, reqs[:1], concurrency=1)
+        mode = ("int8" if os.environ.get("F5_TTS_INT8", "0") != "0"
+                else "bf16")
         for c in args.concurrency:
             r = load_test(url, reqs, concurrency=c)
-            mode = ("int8" if os.environ.get("F5_TTS_INT8", "0") != "0"
-                    else "bf16")
             r["protocol"] = ("http server + dynamic batcher, "
                              + ("tiny (smoke)" if args.tiny
                                 else f"flagship {mode}"))
