@@ -91,7 +91,7 @@ def run_latency_benchmark(model_obj, vocoder, n_items: int = 26,
     runtime/triton_trtllm/README.md:68-75). The relay roundtrip is measured
     separately with a null program and reported alongside, so the on-host
     figure is explicit rather than embedded (round-2 VERDICT weak #6)."""
-    from korean_f5_tts_tpu.models.cfm import cfm_sample
+    from korean_f5_tts_tpu.models.cfm import serve_sample
 
     assert hasattr(vocoder, "params") and hasattr(vocoder, "vcfg"), \
         "latency mode needs a fused-capable vocoder (api.load_vocoder)"
@@ -118,10 +118,15 @@ def run_latency_benchmark(model_obj, vocoder, n_items: int = 26,
     float(jnp.abs(cond).sum())
 
     def request():
-        _, wav = cfm_sample(model_obj.params, model_obj.arch, cond, text,
-                            duration=total_frames, steps=nfe_step,
-                            cfg_strength=2.0, sway_sampling_coef=-1.0, seed=0,
-                            vocoder_fused=fused)
+        # the server's fast path: numpy-only host prologue + ONE jitted
+        # program (DiT scan + Vocos + int16 wav) + one readback. cfm_sample's
+        # eager jnp prologue would instead issue several device dispatches
+        # per request (each an RPC through the relay).
+        wav, _ = serve_sample(model_obj.params, model_obj.arch, cond,
+                              text, np.array([total_frames]),
+                              np.array([ref_frames]), vocoder_fused=fused,
+                              steps=nfe_step, cfg_strength=2.0,
+                              sway_sampling_coef=-1.0, seed=0)
         return np.asarray(wav)  # host transfer = what a server must do
 
     for _ in range(warmup):
@@ -148,7 +153,7 @@ def run_latency_benchmark(model_obj, vocoder, n_items: int = 26,
     db = _default_duration_bucket()
     bucket_frames = int(math.ceil(total_frames / db) * db)
     wav_elems = bucket_frames * hop
-    wz = jnp.zeros((wav_elems,), jnp.float32)
+    wz = jnp.zeros((wav_elems,), jnp.int16)  # serve_sample emits int16 wav
     np.asarray(null(wz))
     wts = []
     for _ in range(10):
