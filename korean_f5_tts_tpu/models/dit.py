@@ -347,10 +347,18 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
     #   attention linears (ops/fused_linears.py): AdaLN-norm+qkv projection
     #     in one program, output projection folded into the gated residual.
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    from korean_f5_tts_tpu.ops.attention import pallas_interpret_forced
+    from korean_f5_tts_tpu.parallel.tp_kernels import ambient_tp_mesh
+
+    kernels_ok = on_tpu or pallas_interpret_forced()
+    # ambient ("data","model") mesh with model-parallelism active: the fused
+    # half-block kernels run per-shard under shard_map (parallel/tp_kernels),
+    # mirroring the reference's TRT-LLM TP split + all-reduce
+    tp_mesh = ambient_tp_mesh()
     m_rows = h.shape[0] * seq_len
     use_ff_fused = (
         _os.environ.get("F5_TTS_FF_FUSED", "1") != "0"
-        and on_tpu and m_rows % 256 == 0
+        and kernels_ok and m_rows % 256 == 0
     )
     if use_ff_fused:
         from korean_f5_tts_tpu.ops.ff_block import ff_block_fused
@@ -363,7 +371,7 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
     # across the two FF matmuls. Kept for the int8 path where the in-kernel
     # quantize changes the tradeoff.
     use_attn_fused_ok = (
-        on_tpu and m_rows % 256 == 0 and mask is None and cfg.qk_norm is None
+        kernels_ok and m_rows % 256 == 0 and mask is None and cfg.qk_norm is None
     )
     use_attn_fused = (
         _os.environ.get("F5_TTS_ATTN_LINEAR_FUSED", "0") != "0"
@@ -393,7 +401,22 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
             "w_int8" in ap[k_] for k_ in ("to_q", "to_k", "to_v", "to_out")))
         attn_fusable = attn_int8 or (use_attn_fused and all(
             "w" in ap[k_] and "b" in ap[k_] for k_ in ("to_q", "to_k", "to_v", "to_out")))
-        if attn_fusable:
+        attn_tp_done = False
+        if attn_fusable and tp_mesh is not None:
+            # TP: the whole fused attention half-block under one shard_map
+            # (heads split on "model"; see parallel/tp_kernels.py)
+            from korean_f5_tts_tpu.ops.attention import _block as _blk
+            from korean_f5_tts_tpu.parallel.tp_kernels import attn_half_block_tp
+
+            uniform = pad_mask is not None and pad_mask.shape[0] == 1
+            out_tp = attn_half_block_tp(
+                h, scale_msa, shift_msa, gate_msa, ap, cfg.heads, rope,
+                cfg.pe_attn_head, prefix_lens, uniform, tp_mesh,
+                bq=_blk(seq_len, 256), bkv=512)
+            if out_tp is not None:
+                h = out_tp
+                attn_tp_done = True
+        if attn_fusable and not attn_tp_done:
             if attn_int8:
                 # int8 attention linears: per-projection scales concat into
                 # one per-channel vector; LN prologue + quantize in-kernel
@@ -445,7 +468,30 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
                                attn_mask_enabled=cfg.attn_mask_enabled,
                                pad_mask=pad_mask)
             h = h + gate_msa[:, None] * attn_out
-        if use_ff_fused and "in" in blk["ff"] and "w_int8" in blk["ff"]["in"]:
+        ff_tp_done = False
+        if use_ff_fused and tp_mesh is not None and "in" in blk["ff"]:
+            # TP: fused FF half-block per shard + psum (parallel/tp_kernels)
+            if "w_int8" in blk["ff"]["in"]:
+                from korean_f5_tts_tpu.parallel.tp_kernels import ff_block_int8_tp
+
+                out_tp = ff_block_int8_tp(h, scale_mlp, shift_mlp, gate_mlp,
+                                          blk["ff"]["in"], blk["ff"]["out"],
+                                          tp_mesh)
+            elif "w" in blk["ff"]["in"]:
+                from korean_f5_tts_tpu.parallel.tp_kernels import ff_block_tp
+
+                out_tp = ff_block_tp(h, scale_mlp, shift_mlp, gate_mlp,
+                                     blk["ff"]["in"]["w"], blk["ff"]["in"]["b"],
+                                     blk["ff"]["out"]["w"], blk["ff"]["out"]["b"],
+                                     tp_mesh)
+            else:
+                out_tp = None
+            if out_tp is not None:
+                h = out_tp
+                ff_tp_done = True
+        if ff_tp_done:
+            pass
+        elif use_ff_fused and "in" in blk["ff"] and "w_int8" in blk["ff"]["in"]:
             # int8-weight FF half-block: LN prologue + both dynamic
             # activation quantizations in-kernel (models/quant.py layout)
             from korean_f5_tts_tpu.ops.ff_block import ff_block_fused_int8

@@ -293,15 +293,18 @@ def conv_position_embedding(p: dict, x: jax.Array, mask: jax.Array | None = None
         m = mask[..., None]
         x = jnp.where(m, x, 0.0)
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if (on_tpu and _gconv.use_pallas_conv_pos()
+    from korean_f5_tts_tpu.ops.attention import pallas_interpret_forced
+
+    interp = not on_tpu and pallas_interpret_forced()
+    if ((on_tpu or interp) and _gconv.use_pallas_conv_pos()
             and _gconv.pallas_conv_supported(x.shape[-1], groups, kernel_size)):
         try:
             y = _gconv.grouped_conv1d_mish(x, p["conv1"]["w"], p["conv1"].get("b"),
-                                           groups=groups)
+                                           groups=groups, interpret=interp)
             if mask is not None:
                 y = jnp.where(m, y, 0.0)
             y = _gconv.grouped_conv1d_mish(y, p["conv2"]["w"], p["conv2"].get("b"),
-                                           groups=groups)
+                                           groups=groups, interpret=interp)
             if mask is not None:
                 y = jnp.where(m, y, 0.0)
             return y

@@ -77,6 +77,43 @@ def _tpu_flash(q, k, v, mask):
                            sm_scale=scale, block_sizes=block_sizes)
 
 
+def pallas_interpret_forced() -> bool:
+    """F5_TTS_PALLAS_INTERPRET=1: run the production Pallas kernels in
+    interpret mode off-TPU (multi-chip CPU dryruns / tests exercise the REAL
+    kernel dispatch + shard_map partitioning instead of the XLA fallback)."""
+    import os
+
+    return os.environ.get("F5_TTS_PALLAS_INTERPRET", "0") != "0"
+
+
+# trace-time dispatch log: which attention backend each trace chose (the
+# multi-chip dryrun reports this; traces are cached, so entries record new
+# traces, not per-step calls)
+_dispatch_log: list[str] = []
+
+
+def _record(path: str) -> None:
+    _dispatch_log.append(path)
+
+
+def get_dispatch_log() -> list[str]:
+    return list(_dispatch_log)
+
+
+def reset_dispatch_log() -> None:
+    _dispatch_log.clear()
+
+
+def _tp_mesh_for(q):
+    """Ambient tensor-parallel mesh when the head axis can split on it."""
+    from korean_f5_tts_tpu.parallel.tp_kernels import ambient_tp_mesh
+
+    mesh = ambient_tp_mesh()
+    if mesh is not None and q.shape[1] % mesh.shape["model"] == 0:
+        return mesh
+    return None
+
+
 def flash_enabled() -> bool:
     # measured on v5e (tests/SURVEY): the legacy pallas flash kernel is slower
     # than XLA's fused attention at n~1.4k and diverges numerically through
@@ -253,7 +290,10 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
         return v  # profiling hack: in-model cost of everything-but-attention
     n, d = q.shape[2], q.shape[3]
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
-    if on_tpu and splash_enabled() and d in (64, 128) and n % 128 == 0:
+    # own Pallas kernels also run off-TPU in interpret mode when forced
+    # (multi-chip CPU dryruns prove the production kernel dispatch)
+    kernel_ok = on_tpu or pallas_interpret_forced()
+    if kernel_ok and splash_enabled() and d in (64, 128) and n % 128 == 0:
         int8_attn = os.environ.get("F5_TTS_INT8_ATTN", "0")
         if (int8_attn != "0" and n % 128 == 0
                 and (prefix_lens is not None or mask is None)):
@@ -270,6 +310,19 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
             try:
                 bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
                 bq = _block(n, int(os.environ.get("F5_TTS_PREFIX_BQ", "256")))
+                mesh = _tp_mesh_for(q)
+                if mesh is not None:
+                    from korean_f5_tts_tpu.parallel.tp_kernels import (
+                        flash_prefix_i8_tp,
+                    )
+
+                    out = flash_prefix_i8_tp(q, k, v, lens, bq, bkv, False,
+                                             int8_attn != "qk", mesh)
+                    if out is not None:
+                        _record(f"prefix-flash-int8-tp[shard_map model="
+                                f"{mesh.shape['model']}]")
+                        return out
+                _record("prefix-flash-int8")
                 return flash_prefix_attention_i8(
                     q, k, v, lens, bq=bq, bkv=bkv, prune=False,
                     pv_i8=int8_attn != "qk")
@@ -295,6 +348,19 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
                 # similar lengths, so force it off there via env.
                 prune_env = os.environ.get("F5_TTS_PREFIX_PRUNE", "auto")
                 prune = (not uniform) if prune_env == "auto" else prune_env != "0"
+                mesh = _tp_mesh_for(q)
+                if mesh is not None:
+                    from korean_f5_tts_tpu.parallel.tp_kernels import (
+                        flash_prefix_tp,
+                    )
+
+                    out = flash_prefix_tp(q, k, v, prefix_lens, bq, bkv,
+                                          prune, mesh)
+                    if out is not None:
+                        _record(f"prefix-flash-tp[shard_map model="
+                                f"{mesh.shape['model']}]")
+                        return out
+                _record("prefix-flash")
                 return flash_prefix_attention(q, k, v, prefix_lens,
                                               bq=bq, bkv=bkv, prune=prune)
             except Exception as e:  # pragma: no cover - hardware-dependent
@@ -313,19 +379,35 @@ def sdpa(q: jax.Array, k: jax.Array, v: jax.Array,
                 bkv = int(os.environ.get("F5_TTS_PREFIX_BKV", "512"))
                 bq = _block(n, int(os.environ.get("F5_TTS_PREFIX_BQ", "256")))
                 lens = jnp.full((1,), n, jnp.int32)
+                mesh = _tp_mesh_for(q)
+                if mesh is not None:
+                    from korean_f5_tts_tpu.parallel.tp_kernels import (
+                        flash_prefix_tp,
+                    )
+
+                    out = flash_prefix_tp(q, k, v, lens, bq, bkv, False, mesh)
+                    if out is not None:
+                        _record(f"prefix-flash-unmasked-tp[shard_map model="
+                                f"{mesh.shape['model']}]")
+                        return out
+                _record("prefix-flash-unmasked")
                 return flash_prefix_attention(q, k, v, lens,
                                               bq=bq, bkv=bkv, prune=False)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("prefix-flash-unmasked", e)
-        if (mask is None or (mask.ndim == 2 and mask.shape[0] == 1)) and n % 512 == 0:
+        if (on_tpu and (mask is None or (mask.ndim == 2 and mask.shape[0] == 1))
+                and n % 512 == 0):
             # unmasked (or splash forced for A/B): shared-segment splash
             try:
+                _record("splash")
                 return _tpu_splash(q, k, v, mask)
             except Exception as e:  # pragma: no cover - hardware-dependent
                 _warn_fallback("splash", e)
     if on_tpu and flash_enabled() and n % 128 == 0 and d in (64, 128, 256):
         try:
+            _record("legacy-flash")
             return _tpu_flash(q, k, v, mask)
         except Exception as e:  # pragma: no cover - hardware-dependent
             _warn_fallback("flash", e)
+    _record("xla")
     return _xla_sdpa(q, k, v, mask)

@@ -26,7 +26,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INTERPRET = False
+import os as _os
+
+_INTERPRET = _os.environ.get("F5_TTS_PALLAS_INTERPRET", "0") != "0"
 
 
 def _gelu_tanh(x):

@@ -41,7 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 MASK_VALUE = -1e37
-_INTERPRET = False  # tests flip this to run the kernels on CPU (interpret mode)
+# tests flip this to run the kernels on CPU (interpret mode); the env seed
+# lets multi-chip CPU dryruns exercise the real kernel dispatch
+import os as _os
+
+_INTERPRET = _os.environ.get("F5_TTS_PALLAS_INTERPRET", "0") != "0"
 
 
 LOG2E = 1.4426950408889634  # softmax via exp2: exp(x) == exp2(x * log2 e);
