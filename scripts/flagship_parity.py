@@ -241,6 +241,149 @@ def mode_tpu_int8attn():
         "note": "int8 weights AND int8 QK/PV attention dots vs fp32 sampler"}})
 
 
+def mode_trained_flagship(steps_trained: int = 1000):
+    """Real TPU: train the FLAGSHIP arch (dim 1024 / depth 22) on synthetic
+    structured data until the AdaLN-zero gates open and weights reach trained
+    magnitudes, then measure bf16/int8 sampler deviation vs fp32 on the SAME
+    trained weights at headline shapes (n=1536, 16 NFE).
+
+    Answers the round-3 VERDICT gap: the 1e-2 north star was formally met only
+    on a dim-64 overfit toy; random-init flagship weights (AdaLN gates near
+    zero, activations untrained) over-state fast-mode deviation. Weight-SCALE
+    realism is what matters here, not audio quality (real ckpts don't ship in
+    the image: /root/reference/ckpts/ is a README)."""
+    import jax
+    import jax.numpy as jnp
+
+    from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from korean_f5_tts_tpu.config import CFMConfig
+    from korean_f5_tts_tpu.models.cfm import cfm_sample
+    from korean_f5_tts_tpu.models.quant import quantize_params
+    from korean_f5_tts_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+    from korean_f5_tts_tpu.train.step import (
+        init_train_state,
+        make_optimizer,
+        train_step,
+    )
+
+    cfg = _our_cfg()
+    ckpt_path = os.path.join(ROOT, "ckpts", "flagship_parity_trained.npz")
+
+    # synthetic-but-structured corpus: per-sample mixtures of slow sinusoids
+    # scaled to the SAME mel magnitude the established parity protocol runs at
+    # (mode_tpu's mean|mel| ~1.3) so the absolute-MAE north star is comparable
+    rng = np.random.default_rng(7)
+    b, n_frames, n_pad = 8, 1200, 1280
+    t = np.arange(n_frames, dtype=np.float32)[None, :, None] / 100.0
+    freqs = rng.uniform(0.2, 3.0, (b, 1, 100)).astype(np.float32)
+    phase = rng.uniform(0, 2 * np.pi, (b, 1, 100)).astype(np.float32)
+    amp = rng.uniform(0.5, 2.0, (b, 1, 100)).astype(np.float32)
+    mel_np = (amp * np.sin(freqs * t + phase)
+              + 0.7 * amp * np.sin(2.3 * freqs * t + 1.7 * phase)).astype(np.float32)
+    mel = np.zeros((b, n_pad, 100), np.float32)
+    mel[:, :n_frames] = mel_np
+    text_np = rng.integers(2, 250, (b, 128)).astype(np.int32)
+
+    l0 = l_end = None
+    if os.path.exists(ckpt_path):
+        params = load_checkpoint(ckpt_path)["params"]
+        print(f"loaded trained flagship params from {ckpt_path}", flush=True)
+    else:
+        params = None
+
+    if params is None:
+        import dataclasses
+
+        from korean_f5_tts_tpu.models.dit import init_dit
+
+        train_cfg = dataclasses.replace(_our_cfg(), checkpoint_activations=True,
+                                        remat_policy="dots")
+        params = init_dit(jax.random.PRNGKey(0), train_cfg)
+        opt = make_optimizer(learning_rate=1e-4, warmup_updates=50,
+                             total_updates=max(steps_trained, 200) * 4)
+        state = init_train_state(params, opt, use_ema=False)
+        batch = {"mel": jnp.asarray(mel), "text": jnp.asarray(text_np),
+                 "lens": jnp.asarray(np.full((b,), n_frames, np.int32))}
+        cfm = CFMConfig()
+
+        def step(state, i):
+            return train_step(state, batch, jax.random.PRNGKey(i), train_cfg,
+                              opt, cfm, compute_dtype=jnp.bfloat16)
+
+        import time
+        tstart = time.perf_counter()
+        for i in range(steps_trained):
+            state, loss = step(state, i)
+            if i == 0:
+                l0 = float(loss)  # fences the compile
+                print(f"step 0 loss {l0:.4f} "
+                      f"({time.perf_counter() - tstart:.0f}s incl. compile)",
+                      flush=True)
+            elif i % 100 == 0 or i == steps_trained - 1:
+                l_end = float(loss)
+                print(f"step {i} loss {l_end:.4f}", flush=True)
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), state.params)
+        del state
+        os.makedirs(os.path.dirname(ckpt_path), exist_ok=True)
+        save_checkpoint(ckpt_path, params, update=steps_trained)
+        print(f"saved {ckpt_path}", flush=True)
+
+    # evidence the AdaLN-zero gates actually opened: the per-block AdaLN
+    # modulation projection is zero-init (dit.py init); trained weights must
+    # have moved away from zero for any block output to be un-gated
+    gate_scale = float(np.mean(
+        [np.abs(np.asarray(bl["attn_norm"]["linear"]["w"])).mean()
+         for bl in params["blocks"]]))
+
+    # headline-shape sampling, identical protocol to mode_tpu; cond drawn
+    # from the TRAINING distribution so activations are in-distribution
+    n, cond_len, steps, seed = 1536, 432, 16, 11
+    cond = mel_np[0:1, :cond_len, :]
+    text = np.array([np.arange(2, 2 + 180) % 250], dtype=np.int32)
+    import torch
+
+    torch.manual_seed(seed)
+    y0 = torch.randn(n, 100).numpy()[None]
+
+    def run(pp, tag):
+        got, _ = cfm_sample(pp, cfg, cond, text, n, steps=steps,
+                            cfg_strength=2.0, sway_sampling_coef=-1.0,
+                            use_epss=True, y0=y0, duration_bucket=512)
+        got = np.asarray(jax.device_get(got)).astype(np.float32)
+        print(f"{tag} done", flush=True)
+        return got
+
+    params32 = jax.tree_util.tree_map(jnp.asarray, params)
+    base = run(params32, "fp32")
+    scale = float(np.mean(np.abs(base))) or 1.0
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params32)
+    bf16 = run(params_bf16, "bf16")
+    int8 = run(quantize_params(params_bf16), "int8")
+    entry = {
+        "arch": "F5TTS_Base dim1024/depth22/conv4/pe_attn_head1",
+        "n": n, "nfe": steps, "cond_len": cond_len,
+        "steps_trained": steps_trained,
+        "mean_abs_mel_fp32": scale,
+        "adaln_attn_mod_w_mean_abs": gate_scale,
+        "bf16": {"mel_mae": float(np.mean(np.abs(bf16 - base))),
+                 "rel": float(np.mean(np.abs(bf16 - base))) / scale},
+        "int8": {"mel_mae": float(np.mean(np.abs(int8 - base))),
+                 "rel": float(np.mean(np.abs(int8 - base))) / scale},
+        "north_star": 1e-2,
+        "note": "flagship dims, weights TRAINED on-TPU to open AdaLN gates; "
+                "replaces the dim-64 overfit toy as the trained-scale "
+                "fast-mode evidence",
+    }
+    if l0 is not None:
+        entry["loss_first"], entry["loss_last"] = l0, l_end
+    _merge({"flagship_trained_fast_modes_vs_fp32": entry})
+
+
 def mode_trained_int8():
     import jax
     import jax.numpy as jnp
@@ -303,8 +446,13 @@ def mode_trained_int8():
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
-                    choices=["fp32", "tpu", "trained_int8", "tpu_int8attn"])
+                    choices=["fp32", "tpu", "trained_int8", "tpu_int8attn",
+                             "trained_flagship"])
+    ap.add_argument("--steps_trained", type=int, default=1000)
     a = ap.parse_args()
-    {"fp32": mode_fp32, "tpu": mode_tpu,
-     "trained_int8": mode_trained_int8,
-     "tpu_int8attn": mode_tpu_int8attn}[a.mode]()
+    if a.mode == "trained_flagship":
+        mode_trained_flagship(a.steps_trained)
+    else:
+        {"fp32": mode_fp32, "tpu": mode_tpu,
+         "trained_int8": mode_trained_int8,
+         "tpu_int8attn": mode_tpu_int8attn}[a.mode]()
