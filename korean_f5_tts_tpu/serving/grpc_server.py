@@ -2,9 +2,15 @@
 
 Parity with reference `runtime/triton_trtllm/client_grpc.py` (async gRPC
 load generator with latency percentiles and server-stat scrape) and the
-Triton gRPC endpoint it talks to. The schema is `tts.proto`; messages are
-JSON-serialized through generic handlers (grpcio-tools isn't in the image
-for stub codegen — the contract is identical).
+Triton gRPC endpoint it talks to. TWO protocols are served:
+
+1. `inference.GRPCInferenceService` — the REAL Triton predict-v2 protobuf
+   contract the reference client speaks (named tensors reference_wav FP32,
+   reference_wav_len INT32, reference_text/target_text BYTES -> waveform
+   FP32; client_grpc.py:273-295). Messages are true proto3 wire bytes,
+   encoded/decoded by serving/proto.py (hand-rolled codec; grpcio-tools
+   isn't in the image for stub codegen).
+2. `f5tts.TTS` — a JSON-bodied convenience service (kept as fallback).
 """
 
 from __future__ import annotations
@@ -81,12 +87,110 @@ def make_grpc_server(service, host: str = "0.0.0.0", port: int = 8001,
             ),
         },
     )
+
+    # --- Triton predict-v2 protocol (real protobuf wire format) ---
+    from korean_f5_tts_tpu.serving import proto as pb
+
+    def model_infer(request_bytes: bytes, context):
+        req = pb.decode_model_infer_request(request_bytes)
+        ins = req["inputs"]
+        try:
+            ref_wav = np.asarray(ins["reference_wav"], np.float32).reshape(-1)
+            if "reference_wav_len" in ins:
+                ref_wav = ref_wav[: int(np.asarray(
+                    ins["reference_wav_len"]).reshape(-1)[0])]
+            ref_text = ins["reference_text"][0].decode()
+            target_text = ins["target_text"][0].decode()
+        except (KeyError, IndexError) as e:
+            context.abort(grpc.StatusCode.INVALID_ARGUMENT,
+                          f"missing tensor: {e}")
+        payload = {
+            "ref_wav": ref_wav,
+            "sr": 24000,  # protocol contract: client resamples to 24 kHz
+            "ref_text": ref_text,
+            "target_text": target_text,
+            "_duration_frames": 1024,
+        }
+        item = service.submit(payload)
+        if not item.event.wait(timeout=600):
+            context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, "synthesis timeout")
+        if item.error:
+            context.abort(grpc.StatusCode.INTERNAL, item.error)
+        wav, out_sr = item.result
+        out = pb.InferTensor("waveform", "FP32", (1, len(wav)),
+                             np.asarray(wav, np.float32))
+        return pb.encode_model_infer_response(
+            req["model_name"] or "f5_tts", [out], request_id=req["id"])
+
+    def server_ready(request_bytes: bytes, context):
+        return pb.encode_ready_response(True)
+
+    _ident = lambda b: b  # raw bytes in/out; proto.py does the (de)framing
+    triton_handlers = grpc.method_handlers_generic_handler(
+        "inference.GRPCInferenceService",
+        {
+            "ModelInfer": grpc.unary_unary_rpc_method_handler(
+                model_infer, request_deserializer=_ident,
+                response_serializer=_ident),
+            "ServerReady": grpc.unary_unary_rpc_method_handler(
+                server_ready, request_deserializer=_ident,
+                response_serializer=_ident),
+            "ServerLive": grpc.unary_unary_rpc_method_handler(
+                server_ready, request_deserializer=_ident,
+                response_serializer=_ident),
+        },
+    )
     server = grpc.server(
         concurrent.futures.ThreadPoolExecutor(max_workers=max_workers)
     )
-    server.add_generic_rpc_handlers((handlers,))
+    server.add_generic_rpc_handlers((handlers, triton_handlers))
     server.add_insecure_port(f"{host}:{port}")
     return server
+
+
+class TritonGrpcClient:
+    """Client speaking the REAL Triton protobuf protocol (the reference's
+    client_grpc.py tensor contract), via the hand-rolled proto3 codec."""
+
+    def __init__(self, target: str = "localhost:8001",
+                 model_name: str = "f5_tts"):
+        import grpc
+
+        from korean_f5_tts_tpu.serving import proto as pb
+
+        self._pb = pb
+        self.model_name = model_name
+        self.channel = grpc.insecure_channel(target)
+        ident = lambda b: b
+        self._infer = self.channel.unary_unary(
+            "/inference.GRPCInferenceService/ModelInfer",
+            request_serializer=ident, response_deserializer=ident)
+        self._ready = self.channel.unary_unary(
+            "/inference.GRPCInferenceService/ServerReady",
+            request_serializer=ident, response_deserializer=ident)
+
+    def ready(self) -> bool:
+        return self._pb.decode_ready_response(self._ready(b""))
+
+    def synthesize(self, ref_wav: "np.ndarray", ref_text: str,
+                   target_text: str, request_id: str = "1"):
+        """ref_wav: float32 mono at 24 kHz (client resamples, as the
+        reference's load_audio does). Returns (waveform float32, 24000)."""
+        pb = self._pb
+        samples = np.asarray(ref_wav, np.float32).reshape(1, -1)
+        lengths = np.array([[samples.shape[1]]], dtype=np.int32)
+        inputs = [
+            pb.InferTensor("reference_wav", "FP32", samples.shape, samples),
+            pb.InferTensor("reference_wav_len", "INT32", (1, 1), lengths),
+            pb.InferTensor("reference_text", "BYTES", (1, 1), [ref_text]),
+            pb.InferTensor("target_text", "BYTES", (1, 1), [target_text]),
+        ]
+        req = pb.encode_model_infer_request(
+            self.model_name, inputs, outputs=["waveform"],
+            request_id=request_id)
+        resp = pb.decode_model_infer_response(self._infer(req))
+        return np.asarray(resp["outputs"]["waveform"],
+                          np.float32).reshape(-1), 24000
 
 
 class GrpcTTSClient:

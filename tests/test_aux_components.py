@@ -130,6 +130,80 @@ class TestGrpc:
         assert sr == 24000
         assert audio[:4] == b"RIFF" and len(audio) > 10_000
 
+    def test_triton_protobuf_round_trip(self, tiny_grpc):
+        """Real proto3 wire bytes through the inference.GRPCInferenceService
+        endpoint — the reference client's protocol (client_grpc.py:273-295)."""
+        from korean_f5_tts_tpu.serving.grpc_server import TritonGrpcClient
+
+        client = TritonGrpcClient(f"localhost:{tiny_grpc['port']}")
+        assert client.ready() is True
+        sr = 24000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        wav, out_sr = client.synthesize(ref, "hello there", "a proto test.")
+        assert out_sr == 24000
+        assert wav.dtype == np.float32 and len(wav) > 4000
+        assert np.isfinite(wav).all()
+
+
+class TestProtoCodec:
+    """Pure wire-format round-trips for the hand-rolled proto3 codec."""
+
+    def test_request_round_trip_raw_contents(self):
+        from korean_f5_tts_tpu.serving import proto as pb
+
+        samples = np.linspace(-1, 1, 480, dtype=np.float32).reshape(1, -1)
+        lens = np.array([[480]], np.int32)
+        inputs = [
+            pb.InferTensor("reference_wav", "FP32", samples.shape, samples),
+            pb.InferTensor("reference_wav_len", "INT32", (1, 1), lens),
+            pb.InferTensor("reference_text", "BYTES", (1, 1), ["안녕하세요"]),
+            pb.InferTensor("target_text", "BYTES", (1, 1), ["ref parity"]),
+        ]
+        buf = pb.encode_model_infer_request("f5_tts", inputs,
+                                            outputs=["waveform"],
+                                            request_id="100000042")
+        req = pb.decode_model_infer_request(buf)
+        assert req["model_name"] == "f5_tts" and req["id"] == "100000042"
+        assert req["outputs"] == ["waveform"]
+        np.testing.assert_array_equal(req["inputs"]["reference_wav"], samples)
+        assert int(np.asarray(req["inputs"]["reference_wav_len"]).reshape(-1)[0]) == 480
+        assert req["inputs"]["reference_text"][0].decode() == "안녕하세요"
+        assert req["inputs"]["target_text"][0].decode() == "ref parity"
+
+    def test_response_round_trip(self):
+        from korean_f5_tts_tpu.serving import proto as pb
+
+        wav = np.sin(np.linspace(0, 30, 2400)).astype(np.float32)
+        buf = pb.encode_model_infer_response(
+            "f5_tts", [pb.InferTensor("waveform", "FP32", (1, len(wav)), wav)],
+            request_id="7")
+        resp = pb.decode_model_infer_response(buf)
+        assert resp["id"] == "7"
+        np.testing.assert_array_equal(
+            np.asarray(resp["outputs"]["waveform"]).reshape(-1), wav)
+
+    def test_varint_edge_cases(self):
+        from korean_f5_tts_tpu.serving import proto as pb
+
+        for v in (0, 1, 127, 128, 300, 2 ** 31 - 1, 2 ** 63 - 1):
+            buf = pb._enc_varint(v)
+            got, i = pb._dec_varint(buf, 0)
+            assert got == v and i == len(buf)
+
+    def test_decode_typed_contents_fallback(self):
+        """Clients that ship data in InferTensorContents instead of raw."""
+        from korean_f5_tts_tpu.serving import proto as pb
+
+        # build a tensor header with packed fp32 contents (field 6)
+        data = np.array([1.5, -2.25, 3.0], np.float32)
+        contents = pb._tag(6, 2) + pb._enc_varint(data.nbytes) + data.tobytes()
+        hdr = (pb.enc_str(1, "reference_wav") + pb.enc_str(2, "FP32")
+               + pb.enc_packed_varints(3, (1, 3)) + pb.enc_msg(5, contents))
+        buf = pb.enc_str(1, "m") + pb.enc_msg(5, hdr)
+        req = pb.decode_model_infer_request(buf)
+        np.testing.assert_array_equal(
+            np.asarray(req["inputs"]["reference_wav"]).reshape(-1), data)
+
 
 class TestBatchInfer:
     def test_batch_generate(self, tmp_path):
