@@ -78,11 +78,29 @@ def main(argv=None):
 
     mesh = make_mesh(n_model=args.n_model_shards) if len(jax.devices()) > 1 else None
     params = _INIT_FNS[model_cfg.backbone](jax.random.PRNGKey(666), arch)
+    # finetune configs start from a pretrained checkpoint (reference
+    # F5TTS_Base_ft_*.yaml ckpts.pretrained_path; trainer.py:197-220 load
+    # precedence) — .npz native or torch .pt/.safetensors via the converter
+    pretrained = ckpts.get("pretrained_path")
+    if pretrained:
+        if os.path.exists(pretrained):
+            from korean_f5_tts_tpu.infer.model import load_checkpoint_into_pytree
+
+            params = load_checkpoint_into_pytree(pretrained, arch,
+                                                 model_cfg.backbone)
+            print(f"loaded pretrained params from {pretrained}")
+        else:
+            print(f"WARNING: ckpts.pretrained_path {pretrained} not found; "
+                  "training from scratch")
     if mesh is not None:
         params = shard_params(params, mesh)
 
+    # datasets.load_path points at the dataset DIRECTORY itself (reference
+    # train_lora.py:179-196 override semantics)
+    load_path = ds_cfg.get("load_path")
     dataset = load_dataset(
-        dataset_name, tokenizer,
+        load_path or dataset_name, tokenizer,
+        dataset_type="CustomDatasetPath" if load_path else "CustomDataset",
         mel_spec_kwargs=dict(
             n_fft=model_cfg.mel.n_fft,
             hop_length=model_cfg.mel.hop_length,

@@ -60,15 +60,45 @@ def lora_train_step(base_params, adapters, opt_state, batch, key, arch, optimize
     return new["adapters"], new_base, opt_state, loss
 
 
+def apply_recipe_config(args, config_path: str) -> None:
+    """Fill unset CLI args from a recipe YAML (configs/F5TTS_Base_ft_Lora_*):
+    the reference's published hyperparameter matrix; explicit flags beat the
+    file. Mutates `args` in place."""
+    import yaml
+
+    with open(config_path, encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+    ds, opt, m, ck = (cfg.get(k, {}) for k in
+                      ("datasets", "optim", "model", "ckpts"))
+    args.dataset_name = args.dataset_name or ds.get("name")
+    args.load_path = getattr(args, "load_path", None) or ds.get("load_path")
+    args.pretrain = args.pretrain or ck.get("pretrained_path")
+    if args.learning_rate is None:
+        args.learning_rate = float(opt.get("learning_rate", 1e-4))
+    if args.batch_size_per_gpu is None:
+        args.batch_size_per_gpu = int(ds.get("batch_size_per_gpu", 9_600))
+    if args.epochs is None:
+        args.epochs = int(opt.get("epochs", 100))
+    args.tokenizer = args.tokenizer or m.get("tokenizer")
+    args.tokenizer_path = args.tokenizer_path or m.get("tokenizer_path")
+    if m.get("name") in PRESETS:
+        args.exp_name = m["name"]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="f5-tts_train-lora")
+    p.add_argument("--config", default=None,
+                   help="recipe YAML (configs/F5TTS_Base_ft_Lora_*.yaml); "
+                        "explicit flags override its values")
     p.add_argument("--exp_name", default="F5TTS_Base", choices=sorted(PRESETS))
-    p.add_argument("--dataset_name", required=True)
-    p.add_argument("--pretrain", required=True)
-    p.add_argument("--learning_rate", type=float, default=1e-4)
-    p.add_argument("--batch_size_per_gpu", type=int, default=9_600)
-    p.add_argument("--epochs", type=int, default=100)
-    p.add_argument("--tokenizer", default="pinyin")
+    p.add_argument("--dataset_name", default=None)
+    p.add_argument("--pretrain", default=None)
+    p.add_argument("--load_path", default=None,
+                   help="dataset directory override (train_lora.py:179-196)")
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--batch_size_per_gpu", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--tokenizer", default=None)
     p.add_argument("--tokenizer_path", default=None)
     p.add_argument("--train_text_embed", action="store_true",
                    help="also unfreeze the text encoder (CoreaSpeech hybrid)")
@@ -76,6 +106,15 @@ def main(argv=None):
     p.add_argument("--save_every", type=int, default=5000)
     p.add_argument("--device", default=None)
     args = p.parse_args(argv)
+    if args.config:
+        apply_recipe_config(args, args.config)
+    if not args.dataset_name or not args.pretrain:
+        p.error("--dataset_name and --pretrain are required "
+                "(directly or via --config)")
+    args.learning_rate = 1e-4 if args.learning_rate is None else args.learning_rate
+    args.batch_size_per_gpu = args.batch_size_per_gpu or 9_600
+    args.epochs = args.epochs or 100
+    args.tokenizer = args.tokenizer or "pinyin"
     if args.device:
         jax.config.update("jax_platforms", args.device)
     from korean_f5_tts_tpu.utils.jax_cache import enable_compilation_cache
@@ -114,7 +153,9 @@ def main(argv=None):
         trainable0["text_embed"] = base_params["text_embed"]
     opt_state = optimizer.init(trainable0)
 
-    dataset = load_dataset(args.dataset_name, args.tokenizer)
+    dataset = load_dataset(
+        args.load_path or args.dataset_name, args.tokenizer,
+        dataset_type="CustomDatasetPath" if args.load_path else "CustomDataset")
     from korean_f5_tts_tpu.data.dataset import DynamicBatchSampler
 
     sampler = DynamicBatchSampler(dataset, args.batch_size_per_gpu, max_samples=64,
