@@ -3,8 +3,12 @@
 Parity: reference `src/f5_tts/model/utils.py:481-518`. The reference uses
 rjieba + pypinyin; neither is available in this image, so segmentation falls
 back to `jieba` when present and per-character otherwise, and pinyin
-conversion is gated: without pypinyin, Chinese chars pass through as
-characters (the Korean/English paths — this fork's focus — are unaffected).
+conversion uses pypinyin when installed, else the VENDORED table
+(text/pinyin_data.py: ~1k most-frequent hanzi, polyphone word overrides,
+不/一/third-tone sandhi) — ZH text tokenizes into the same pinyin-syllable
+vocab either way. Known divergence vs pypinyin: rarer characters fall back
+to the raw char, and sandhi windows are hanzi runs, not jieba words
+(documented in PARITY.md).
 """
 
 from __future__ import annotations
@@ -16,11 +20,13 @@ try:  # pragma: no cover - environment probe
         return lazy_pinyin(seg, style=Style.TONE3, tone_sandhi=True)
 
     HAS_PYPINYIN = True
-except ImportError:  # pragma: no cover
+except ImportError:
     HAS_PYPINYIN = False
 
     def _pinyin(seg: str) -> list[str]:
-        return list(seg)
+        from korean_f5_tts_tpu.text.pinyin_data import hanzi_to_pinyin
+
+        return hanzi_to_pinyin(seg)
 
 
 try:  # pragma: no cover - environment probe

@@ -1,0 +1,94 @@
+"""Vendored pinyin path: ZH text tokenizes into the reference vocab.
+
+Round-3 VERDICT missing-item 4: without pypinyin the ZH path passed hanzi
+through raw. The vendored table (text/pinyin_data.py) + sandhi rules now
+produce pinyin syllables; every emitted syllable must be a member of the
+reference's Emilia_ZH_EN_pinyin vocab (vendored at data/Emilia_ZH_EN_pinyin/
+vocab.txt, byte-identical to the reference artifact)."""
+
+import os
+
+import pytest
+
+from korean_f5_tts_tpu.text.pinyin import convert_char_to_pinyin
+from korean_f5_tts_tpu.text.pinyin_data import (
+    apply_tone_sandhi,
+    char_table,
+    hanzi_to_pinyin,
+)
+
+VOCAB = os.path.join(os.path.dirname(__file__), "..", "data",
+                     "Emilia_ZH_EN_pinyin", "vocab.txt")
+
+
+@pytest.fixture(scope="module")
+def vocab():
+    with open(VOCAB, encoding="utf-8") as f:
+        return {line.rstrip("\n").rstrip() for line in f if line.strip()}
+
+
+class TestVendoredTable:
+    def test_every_reading_in_reference_vocab(self, vocab):
+        missing = sorted(set(char_table().values()) - vocab)
+        assert not missing, missing[:20]
+
+    def test_overrides_in_reference_vocab(self, vocab):
+        from korean_f5_tts_tpu.text.pinyin_data import WORD_OVERRIDES
+
+        sylls = {s for w in WORD_OVERRIDES.values() for s in w}
+        missing = sorted(sylls - vocab)
+        assert not missing, missing
+
+    def test_common_readings(self):
+        assert hanzi_to_pinyin("中国") == ["zhong1", "guo2"]
+        assert hanzi_to_pinyin("学生") == ["xue2", "sheng1"]
+        assert hanzi_to_pinyin("天气") == ["tian1", "qi4"]
+
+    def test_polyphone_words(self):
+        assert hanzi_to_pinyin("银行") == ["yin2", "hang2"]
+        assert hanzi_to_pinyin("音乐") == ["yin1", "yue4"]
+        assert hanzi_to_pinyin("快乐") == ["kuai4", "le4"]
+        assert hanzi_to_pinyin("重新") == ["chong2", "xin1"]
+
+    def test_tone_sandhi(self):
+        # 不 + tone4 -> bu2; otherwise bu4 (pypinyin tone_sandhi semantics)
+        assert hanzi_to_pinyin("不是") == ["bu2", "shi4"]
+        assert hanzi_to_pinyin("不好")[0] == "bu4"
+        # 一 + tone4 -> yi2; + tone1/2/3 -> yi4
+        assert hanzi_to_pinyin("一个") == ["yi2", "ge4"]
+        assert hanzi_to_pinyin("一天")[0] == "yi4"
+        # third-tone sandhi 3-3 -> 2-3
+        assert hanzi_to_pinyin("你好") == ["ni2", "hao3"]
+        assert apply_tone_sandhi(["hao3", "hao3"], "好好") == ["hao2", "hao3"]
+
+
+class TestConvertCharToPinyin:
+    """The reference front-end contract (model/utils.py:481-518): hanzi get a
+    leading space + pinyin token; ASCII passes through as characters."""
+
+    def test_zh_sentence_tokens_in_vocab(self, vocab):
+        out = convert_char_to_pinyin(["我们今天去学校。"])[0]
+        sylls = [t for t in out if t not in (" ",) and len(t) > 1]
+        assert sylls, out
+        for t in sylls:
+            assert t in vocab, (t, out)
+
+    def test_zh_no_raw_hanzi_passthrough(self):
+        out = convert_char_to_pinyin(["你好世界"])[0]
+        assert all(not ("一" <= c <= "鿿") for c in "".join(out)), out
+
+    def test_mixed_zh_en(self, vocab):
+        out = convert_char_to_pinyin(["hello 世界 ok"])[0]
+        joined = "".join(out)
+        assert "hello" in joined and "ok" in joined
+        assert "shi4" in out and "jie4" in out
+
+    def test_space_before_each_hanzi_token(self):
+        out = convert_char_to_pinyin(["中国"])[0]
+        # reference inserts " " before each converted hanzi (utils.py:499-503)
+        assert out[0] == " " and out[1] == "zhong1"
+        assert out[2] == " " and out[3] == "guo2"
+
+    def test_punctuation_translation(self):
+        out = convert_char_to_pinyin(["a;b"])[0]
+        assert ";" not in out and "," in out
