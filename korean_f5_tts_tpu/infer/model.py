@@ -67,9 +67,20 @@ class TTSModel:
         hop, n_fft = cfg.hop_length, cfg.n_fft
         pad = n_fft // 2 if cfg.mel_spec_type == "vocos" else (n_fft - hop) // 2
         out_frames = self.REF_FRAME_BUCKETS[-1]
-        # clamp to the largest bucket (serving clips refs to 12 s well below it)
         max_nw = (out_frames - 1) * hop + n_fft - 2 * pad
-        x = np.pad(wav[:max_nw], (pad, pad), mode="reflect")
+        if wav.size > max_nw:
+            # public API: refuse rather than silently truncate (round-3
+            # ADVICE); serving callers pre-clip refs to <= 12 s
+            raise ValueError(
+                f"mel_of_wav_device: waveform of {wav.size} samples exceeds "
+                f"the largest serving ref bucket ({max_nw} samples ~ "
+                f"{max_nw / cfg.target_sample_rate:.1f} s); clip the "
+                "reference first (serving clips to 12 s) or use mel_of_wav")
+        if wav.size <= pad:
+            # reflect padding needs > pad samples; zero-extend ultra-short
+            # refs instead of surfacing an opaque numpy error
+            wav = np.pad(wav, (0, pad + 1 - wav.size))
+        x = np.pad(wav, (pad, pad), mode="reflect")
         n_frames = (x.size - n_fft) // hop + 1
         f_b = next(f for f in self.REF_FRAME_BUCKETS if f >= n_frames)
         l_b = (f_b - 1) * hop + n_fft

@@ -184,7 +184,12 @@ def _sample_core_vocos(
         use_sway=use_sway, use_epss=use_epss, t_start=t_start,
     )
     out = jnp.where(cond_mask[..., None], step_cond, mel)
-    wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2), vcfg)
+    # one replicated trailing frame: istft(center=True) over N frames yields
+    # (N-1)*hop samples, so full-bucket durations would lose their final
+    # frame; the replicate pad makes duration*hop samples always available
+    # (same trick as the server's padded-fallback decode)
+    out_v = jnp.concatenate([out, out[:, -1:, :]], axis=1)
+    wav = vocos_decode(voc_params, jnp.swapaxes(out_v, 1, 2), vcfg)
     return out, wav
 
 
@@ -229,11 +234,15 @@ def _serve_core_vocos(
     readback (half the f32 relay transfer). Role parity: the reference's
     single TRT engine execution per request (f5_tts_trtllm.py:296-372).
 
-    Semantics match cfm_sample exactly (tests/test_serving.py pins it):
-    noise is drawn per item at `canon` length and sliced to N
+    Semantics match cfm_sample exactly FOR MATCHING DTYPES (tests/
+    test_serving.py pins fp32-model parity; a bf16-closeness test bounds the
+    rest): noise is drawn per item at `canon` length and sliced to N
     (cfm.py:194-201 parity — identical seeds give the batch one shared noise
     tensor), masks derive from lens/duration like the host prologue, and the
-    int16 conversion mirrors serving/native.py f32_to_i16.
+    int16 conversion mirrors serving/native.py f32_to_i16. When params
+    contain bf16 leaves the WHOLE graph (cond cast + noise draw included)
+    runs in bf16 — the serving headline mode — so served audio differs from
+    an f32-cond cfm_sample call at the bf16 level, not bit-exactly.
     """
     from korean_f5_tts_tpu.models.vocos import vocos_decode
 
@@ -268,7 +277,10 @@ def _serve_core_vocos(
         use_sway=use_sway, use_epss=use_epss, t_start=0.0,
     )
     out = jnp.where(cond_mask[..., None], step_cond, mel)
-    wav = vocos_decode(voc_params, jnp.swapaxes(out, 1, 2), vcfg)
+    # replicate-pad one frame so duration*hop samples exist even at
+    # full-bucket durations (istft over N frames gives only (N-1)*hop)
+    out_v = jnp.concatenate([out, out[:, -1:, :]], axis=1)
+    wav = vocos_decode(voc_params, jnp.swapaxes(out_v, 1, 2), vcfg)
     wav = wav.astype(jnp.float32) * wav_scale[:, None]
     return jnp.round(jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
 

@@ -175,6 +175,12 @@ class TTSService:
         key = (hashlib.sha1(wav.tobytes()).hexdigest(), int(p["sr"]))
         with self.lock:
             hit = self._mel_cache.get(key)
+            if hit is not None:
+                # LRU bump: re-insert so a hot reference interleaved with many
+                # distinct refs isn't evicted (round-3 ADVICE: FIFO evicted by
+                # insertion order regardless of hits)
+                self._mel_cache.pop(key)
+                self._mel_cache[key] = hit
         if hit is not None:
             return hit
         wav = au.to_mono(wav)
@@ -339,8 +345,12 @@ class TTSService:
             wav_full = np.asarray(wav_full, np.float32)
             for i in range(len(items)):
                 if gen_lens[i] > 0:
+                    # slice duration*hop samples: consistent with
+                    # infer_batch_process and the reference
+                    # (utils_infer.py:321); round-3 ADVICE — the earlier
+                    # (duration-1)*hop dropped the final ~10.7 ms frame
                     wavs[i] = wav_full[i, int(lens[i]) * hop_length:
-                                       int(durations[i] - 1) * hop_length]
+                                       int(durations[i]) * hop_length]
         elif self.vocoder is not None and gen_lens.max(initial=0) > 1:
             # two-program fallback (external vocoder callable): pad every
             # item's generated mel to one 256-frame-bucketed static length and
@@ -360,8 +370,9 @@ class TTSService:
             wavb = np.asarray(self.vocoder(jnp.asarray(genb)))
             wavb = wavb.reshape(len(items), -1)
             for i in range(len(items)):
-                n_samp = max(int(gen_lens[i]) - 1, 0) * hop_length
-                wavs[i] = wavb[i, :n_samp]
+                # gen_lens*hop samples, matching the fused path and
+                # infer_batch_process (round-3 ADVICE final-frame fix)
+                wavs[i] = wavb[i, : int(gen_lens[i]) * hop_length]
         for i, it in enumerate(items):
             wav = wavs[i]
             if wav is None or wav.size == 0:

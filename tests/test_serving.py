@@ -556,3 +556,93 @@ class TestServeFastPath:
             assert np.isfinite(data.astype(np.float32)).all()
         finally:
             httpd.shutdown()
+
+    def test_serve_sample_bf16_model_close_to_fp32(self):
+        """bf16-weighted serving (the headline mode) runs the WHOLE graph in
+        bf16 — bounded-close to the fp32 serve output, not bit-exact
+        (round-3 ADVICE: the docstring previously over-claimed exactness)."""
+        import jax
+        import jax.numpy as jnp
+
+        from korean_f5_tts_tpu.models.cfm import serve_sample
+
+        model, fused = self._build()
+        sr = 24_000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        dev, n_frames = model.mel_of_wav_device(ref)
+        text = np.full((1, 20), -1, np.int64)
+        text[0, :4] = [3, 4, 5, 6]
+        from korean_f5_tts_tpu.models.cfm import cfm_sample
+
+        p16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            model.params)
+        durations, lens = np.array([n_frames + 40]), np.array([n_frames])
+        b16, _ = serve_sample(p16, model.arch, dev, text, durations, lens,
+                              vocoder_fused=fused, steps=2, cfg_strength=2.0,
+                              sway_sampling_coef=-1.0, seed=5)
+        # matching dtypes: serve_sample auto-casts cond to bf16 for
+        # bf16-weighted params (the headline mode); hand cfm_sample the
+        # SAME bf16 cond so both run the bf16 graph (an f32 cond would keep
+        # cfm_sample on the fp32-logit parity path — the documented
+        # divergence this test brackets)
+        mel_host = jnp.asarray(model.mel_of_wav(ref)[None], jnp.bfloat16)
+        _, wav_ref = cfm_sample(p16, model.arch, mel_host, text,
+                                durations, lens=lens, steps=2,
+                                cfg_strength=2.0, sway_sampling_coef=-1.0,
+                                seed=5, vocoder_fused=fused)
+        ref_i16 = np.round(np.clip(np.asarray(wav_ref, np.float32), -1, 1)
+                           * 32767.0).astype(np.int16)
+        b16 = np.asarray(b16, np.float32).reshape(-1) / 32767.0
+        f16 = ref_i16.astype(np.float32).reshape(-1) / 32767.0
+        # SAME dtype both sides: identical graphs up to op ordering at bf16
+        # precision — strongly correlated, modest relative deviation
+        corr = float(np.corrcoef(f16, b16)[0, 1])
+        assert corr > 0.98, corr
+        rel = np.abs(b16 - f16).mean() / (np.abs(f16).mean() + 1e-9)
+        assert rel < 0.2, rel
+
+    def test_mel_of_wav_device_overlong_raises(self):
+        model, _ = self._build()
+        sr = 24_000
+        too_long = np.zeros(14 * sr, np.float32)  # > largest 12 s bucket
+        with pytest.raises(ValueError, match="exceeds"):
+            model.mel_of_wav_device(too_long)
+
+    def test_mel_of_wav_device_tiny_input_ok(self):
+        model, _ = self._build()
+        # shorter than n_fft//2: used to raise an opaque numpy reflect error
+        dev, n_frames = model.mel_of_wav_device(np.zeros(100, np.float32))
+        assert n_frames >= 1 and np.isfinite(np.asarray(dev)).all()
+
+    def test_ref_mel_cache_is_lru(self):
+        """A hot reference interleaved with many distinct refs must survive
+        eviction (round-3 ADVICE: FIFO evicted by insertion order)."""
+        from korean_f5_tts_tpu.serving.server import TTSService
+
+        model, fused = self._build()
+        service = TTSService.__new__(TTSService)  # no worker thread needed
+        import threading
+
+        service.model = model
+        service.lock = threading.Lock()
+        service._mel_cache = {}
+        service._mel_cache_cap = 4
+        sr = 24_000
+        rng = np.random.default_rng(0)
+
+        def payload(i):
+            return {"ref_wav": (0.1 * rng.standard_normal(2000) + i * 0.0
+                                ).astype(np.float32) + np.float32(i) * 1e-3,
+                    "sr": sr}
+
+        hot = {"ref_wav": (0.2 * np.sin(np.arange(2000) / 10)).astype(np.float32),
+               "sr": sr}
+        service._ref_mel(hot)
+        hot_key = next(iter(service._mel_cache))
+        for i in range(8):  # interleave: hot ref hit between distinct refs
+            service._ref_mel(payload(i))
+            service._ref_mel(hot)
+        assert hot_key in service._mel_cache
+        assert len(service._mel_cache) <= service._mel_cache_cap
