@@ -26,6 +26,25 @@ import numpy as np
 _SERVICE = "f5tts.TTS"
 
 
+def _submit_mapped(service, payload, context, grpc):
+    """submit() with overload conditions mapped to gRPC status codes
+    (Triton queue-policy parity; see serving/server.py exceptions)."""
+    from korean_f5_tts_tpu.serving.server import (
+        RequestTooLong,
+        ServiceOverloaded,
+        ServiceShuttingDown,
+    )
+
+    try:
+        return service.submit(payload)
+    except ServiceOverloaded as e:
+        context.abort(grpc.StatusCode.RESOURCE_EXHAUSTED, str(e))
+    except RequestTooLong as e:
+        context.abort(grpc.StatusCode.INVALID_ARGUMENT, str(e))
+    except ServiceShuttingDown as e:
+        context.abort(grpc.StatusCode.UNAVAILABLE, str(e))
+
+
 def _json_ser(obj) -> bytes:
     return json.dumps(obj).encode()
 
@@ -62,7 +81,7 @@ def make_grpc_server(service, host: str = "0.0.0.0", port: int = 8001,
             "seed": request.get("seed"),
             "_duration_frames": 1024,
         }
-        item = service.submit(payload)
+        item = _submit_mapped(service, payload, context, grpc)
         if not item.event.wait(timeout=600):
             context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, "synthesis timeout")
         if item.error:
@@ -111,7 +130,7 @@ def make_grpc_server(service, host: str = "0.0.0.0", port: int = 8001,
             "target_text": target_text,
             "_duration_frames": 1024,
         }
-        item = service.submit(payload)
+        item = _submit_mapped(service, payload, context, grpc)
         if not item.event.wait(timeout=600):
             context.abort(grpc.StatusCode.DEADLINE_EXCEEDED, "synthesis timeout")
         if item.error:

@@ -31,6 +31,22 @@ from korean_f5_tts_tpu.serving.native import NativeBatcher, f32_to_i16
 from korean_f5_tts_tpu.utils.audio import load_wav, to_mono
 
 
+class ServiceOverloaded(RuntimeError):
+    """Queue is at max_queue capacity — reject-with-429 instead of letting
+    latency grow unboundedly (the Triton dynamic batcher's queue-policy role,
+    config.pbtxt:17-20)."""
+
+
+class RequestTooLong(ValueError):
+    """Estimated duration exceeds max_duration in strict mode (the TRT
+    engine's max_seq_len=3000 rejection role, patch/f5tts/model.py:109)."""
+
+
+class ServiceShuttingDown(RuntimeError):
+    """submit() after shutdown() started: in-flight work drains, new work
+    is refused (503)."""
+
+
 class _Pending:
     __slots__ = ("payload", "event", "result", "error", "t_enqueue")
 
@@ -48,7 +64,8 @@ class TTSService:
 
     def __init__(self, model_obj, vocoder, max_batch: int = 8,
                  max_wait_us: int = 5_000, nfe_step: int = 16,
-                 max_duration: int = 4096):
+                 max_duration: int = 4096, max_queue: int = 64,
+                 strict_max_duration: bool = False):
         self.model = model_obj
         self.vocoder = vocoder
         # fuse DiT + vocoder into ONE device program when the vocoder exposes
@@ -61,6 +78,11 @@ class TTSService:
         )
         self.nfe_step = nfe_step
         self.max_duration = max_duration  # sampler frame cap (engine max_seq_len role)
+        self.max_queue = max_queue        # queued-request cap (429 beyond it)
+        # strict: reject requests whose duration estimate exceeds
+        # max_duration instead of clamping (the TRT engine errors there)
+        self.strict_max_duration = strict_max_duration
+        self.accepting = True
         self.batcher = NativeBatcher(max_batch=max_batch, max_wait_us=max_wait_us)
         # device-resident ref-mel cache: preprocessing + the jitted mel
         # front-end run once per distinct reference (keyed by content hash);
@@ -105,7 +127,20 @@ class TTSService:
             cap = 12 * int(payload["sr"])
             if np.asarray(payload["ref_wav"]).shape[-1] > cap:
                 payload["ref_wav"] = np.asarray(payload["ref_wav"])[..., :cap]
+        # overload / validity gates BEFORE registering anything
+        est = max(1, int(payload.get("_duration_frames", 1024)))
+        if self.strict_max_duration and est > self.max_duration:
+            raise RequestTooLong(
+                f"estimated {est} mel frames exceeds max_duration="
+                f"{self.max_duration} (engine max_seq_len role); chunk the "
+                "text or raise --max_duration")
         with self.lock:
+            if not self.accepting:
+                raise ServiceShuttingDown("server is shutting down")
+            if len(self.pending) >= self.max_queue:
+                raise ServiceOverloaded(
+                    f"queue full ({self.max_queue} requests in flight); "
+                    "retry later")
             self.counter += 1
             rid = self.counter
             item = _Pending(payload)
@@ -114,11 +149,37 @@ class TTSService:
         # Clamp to the engine cap BEFORE bucketing: an oversized estimate
         # would otherwise shift past the 13 bits reserved in _batch_key
         # (round-2 ADVICE) — the sampler clamps durations to max_duration
-        # anyway, so the oversized bucket could never be used.
-        est = max(1, int(payload.get("_duration_frames", 1024)))
+        # anyway (non-strict mode), so the oversized bucket could never be
+        # used.
         bucket = int(np.ceil(min(est, self.max_duration) / 128) * 128)
         self.batcher.submit(rid, self._batch_key(payload, bucket))
         return item
+
+    def shutdown(self, drain: bool = True, timeout: float = 30.0) -> None:
+        """Graceful shutdown: stop accepting, drain in-flight work, stop the
+        worker, fail anything still queued with a clear error.
+
+        In-flight batches always complete (the worker is never killed
+        mid-execution); `drain` controls whether queued-but-unbatched
+        requests get served (up to `timeout` seconds) or failed fast."""
+        with self.lock:
+            self.accepting = False
+        deadline = time.monotonic() + timeout
+        if drain:
+            while time.monotonic() < deadline:
+                with self.lock:
+                    if not self.pending:
+                        break
+                time.sleep(0.01)
+        self.running = False
+        self.worker.join(timeout=max(0.0, deadline - time.monotonic()) + 1.0)
+        with self.lock:
+            leftovers = list(self.pending.values())
+            self.pending.clear()
+        for item in leftovers:
+            if item.result is None and item.error is None:
+                item.error = "ServiceShuttingDown: server stopped before the request was scheduled"
+            item.event.set()
 
     def _run(self):
         while self.running:
@@ -469,6 +530,8 @@ def make_handler(service: TTSService):
                 if not item.event.wait(timeout=600):
                     raise TimeoutError("synthesis timed out")
                 if item.error:
+                    if "ServiceShuttingDown" in item.error:
+                        raise ServiceShuttingDown(item.error)
                     raise RuntimeError(item.error)
                 wav, sr_out = item.result
                 body = _wav_bytes(wav, sr_out)
@@ -478,8 +541,16 @@ def make_handler(service: TTSService):
                 self.end_headers()
                 self.wfile.write(body)
             except Exception as e:
+                # overload / lifecycle conditions get their proper statuses
+                # (Triton queue-policy parity: reject, don't queue forever)
+                status = (429 if isinstance(e, ServiceOverloaded) else
+                          400 if isinstance(e, RequestTooLong) else
+                          503 if isinstance(e, ServiceShuttingDown) else
+                          504 if isinstance(e, TimeoutError) else 500)
                 msg = json.dumps({"error": repr(e)}).encode()
-                self.send_response(500)
+                self.send_response(status)
+                if status == 429:
+                    self.send_header("Retry-After", "1")
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(msg)))
                 self.end_headers()
@@ -570,9 +641,12 @@ def warm_start(model_obj, vocoder, buckets: list[int] = (512, 1024, 1536),
 
 
 def serve(model_obj, vocoder, host: str = "0.0.0.0", port: int = 8000,
-          max_batch: int = 8, max_wait_us: int = 5_000, nfe_step: int = 16):
+          max_batch: int = 8, max_wait_us: int = 5_000, nfe_step: int = 16,
+          max_queue: int = 64, strict_max_duration: bool = False):
     service = TTSService(model_obj, vocoder, max_batch=max_batch,
-                         max_wait_us=max_wait_us, nfe_step=nfe_step)
+                         max_wait_us=max_wait_us, nfe_step=nfe_step,
+                         max_queue=max_queue,
+                         strict_max_duration=strict_max_duration)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"serving on {host}:{port} (native batcher: {service.batcher.is_native})")
     return httpd, service
@@ -598,6 +672,12 @@ def main(argv=None):
     parser.add_argument("--warm_text_tokens", type=int, default=16,
                         help="token count used for warm graphs; pick the "
                              "64-token bucket real traffic lands in")
+    parser.add_argument("--max_queue", type=int, default=64,
+                        help="in-flight request cap; beyond it /tts returns "
+                             "429 (Triton queue-policy role)")
+    parser.add_argument("--strict_max_duration", action="store_true",
+                        help="reject (400) requests whose duration estimate "
+                             "exceeds max_duration instead of clamping")
     args = parser.parse_args(argv)
     if args.device:
         import jax
@@ -620,9 +700,24 @@ def main(argv=None):
         warm_start(model_obj, vocoder, args.warm_buckets, args.nfe_step,
                    batch_sizes=tuple(args.warm_batch_sizes),
                    text_tokens=args.warm_text_tokens)
-    httpd, _ = serve(model_obj, vocoder, port=args.port, max_batch=args.max_batch,
-                     max_wait_us=args.max_wait_us, nfe_step=args.nfe_step)
+    httpd, service = serve(model_obj, vocoder, port=args.port,
+                           max_batch=args.max_batch,
+                           max_wait_us=args.max_wait_us,
+                           nfe_step=args.nfe_step, max_queue=args.max_queue,
+                           strict_max_duration=args.strict_max_duration)
+    # SIGTERM/SIGINT: stop accepting, drain in-flight requests, then exit
+    import signal
+
+    def _graceful(signum, frame):
+        print(f"signal {signum}: draining in-flight requests ...")
+        threading.Thread(target=httpd.shutdown, daemon=True).start()
+        service.shutdown(drain=True, timeout=60.0)
+
+    signal.signal(signal.SIGTERM, _graceful)
+    signal.signal(signal.SIGINT, _graceful)
     httpd.serve_forever()
+    service.shutdown(drain=True, timeout=60.0)
+    print("server stopped")
 
 
 if __name__ == "__main__":

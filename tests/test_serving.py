@@ -646,3 +646,163 @@ class TestServeFastPath:
             service._ref_mel(hot)
         assert hot_key in service._mel_cache
         assert len(service._mel_cache) <= service._mel_cache_cap
+
+
+class TestOverloadBehavior:
+    """Queue cap / strict max_duration / graceful shutdown (round-3 VERDICT
+    item 8; Triton queue-policy + engine max_seq_len roles)."""
+
+    def _tiny_service(self, **kw):
+        import jax
+
+        from korean_f5_tts_tpu.config import DiTConfig, ModelConfig
+        from korean_f5_tts_tpu.infer.model import load_model
+        from korean_f5_tts_tpu.models.vocos import VocosConfig, init_vocos, vocos_decode
+        from korean_f5_tts_tpu.serving.server import TTSService
+
+        arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                         mel_dim=100, text_num_embeds=40, text_dim=16,
+                         conv_layers=1)
+        model = load_model(ModelConfig(name="tiny", backbone="DiT", arch=arch,
+                                       tokenizer="custom"), use_n2gk_plus=False)
+        model.vocab_char_map = {c: i for i, c in
+                                enumerate(" abcdefghijklmnopqrstuvwxyz.,!")}
+        vcfg = VocosConfig(dim=16, intermediate_dim=32, num_layers=1)
+        vp = init_vocos(jax.random.PRNGKey(0), vcfg)
+        vocoder = jax.jit(lambda m: vocos_decode(vp, m, vcfg))
+        return TTSService(model, vocoder, max_batch=2, max_wait_us=2000,
+                          nfe_step=2, **kw)
+
+    def _payload(self, text="hello"):
+        sr = 24000
+        ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+        return {"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                "target_text": text, "nfe_step": 2, "seed": 1,
+                "_duration_frames": 128}
+
+    def test_queue_cap_raises_overloaded(self):
+        from korean_f5_tts_tpu.serving.server import ServiceOverloaded, TTSService
+
+        service = TTSService.__new__(TTSService)  # no worker: queue only fills
+        import threading
+
+        service.lock = threading.Lock()
+        service.pending = {}
+        service.max_queue = 3
+        service.max_duration = 4096
+        service.strict_max_duration = False
+        service.accepting = True
+        service.counter = 0
+        service.param_groups = {}
+        service.nfe_step = 2
+
+        class _NullBatcher:
+            def submit(self, rid, key):
+                pass
+
+        service.batcher = _NullBatcher()
+        for _ in range(3):
+            service.submit(self._payload())
+        with pytest.raises(ServiceOverloaded, match="queue full"):
+            service.submit(self._payload())
+
+    def test_strict_max_duration_rejects(self):
+        from korean_f5_tts_tpu.serving.server import RequestTooLong
+
+        service = self._tiny_service(max_duration=256,
+                                     strict_max_duration=True)
+        try:
+            p = self._payload()
+            p["_duration_frames"] = 3001  # past the engine max_seq_len role
+            with pytest.raises(RequestTooLong, match="max_duration"):
+                service.submit(p)
+            # in-range requests still serve
+            ok = service.submit(self._payload())
+            assert ok.event.wait(timeout=120) and ok.error is None
+        finally:
+            service.shutdown(drain=False, timeout=5)
+
+    def test_graceful_shutdown_drains_inflight(self):
+        from korean_f5_tts_tpu.serving.server import ServiceShuttingDown
+
+        service = self._tiny_service()
+        items = [service.submit(self._payload(t))
+                 for t in ("one sentence.", "two here.")]
+        service.shutdown(drain=True, timeout=120)
+        for it in items:
+            assert it.event.is_set()
+            assert it.error is None, it.error  # in-flight work completed
+            wav, sr = it.result
+            assert sr == 24000 and np.asarray(wav).size > 0
+        # post-shutdown submits are refused
+        with pytest.raises(ServiceShuttingDown):
+            service.submit(self._payload())
+
+    def test_shutdown_fails_unscheduled_fast(self):
+        """drain=False: queued-but-unbatched items fail with a clear error
+        instead of hanging their waiters."""
+        from korean_f5_tts_tpu.serving.server import TTSService
+
+        service = self._tiny_service()
+        # stop the worker first so submissions can never be scheduled
+        service.running = False
+        service.worker.join(timeout=10)
+        items = [service.submit(self._payload(t)) for t in ("a.", "b.")]
+        service.shutdown(drain=False, timeout=1)
+        for it in items:
+            assert it.event.is_set()
+            assert it.error and "ServiceShuttingDown" in it.error
+
+    def test_http_429_and_400_statuses(self):
+        """Full HTTP stack: queue-full -> 429 (with Retry-After), strict
+        over-length -> 400."""
+        import base64
+        import io
+        import urllib.error
+        import urllib.request
+
+        from scipy.io import wavfile
+
+        from korean_f5_tts_tpu.serving.server import ThreadingHTTPServer, make_handler
+
+        service = self._tiny_service(max_duration=256,
+                                     strict_max_duration=True)
+        # block scheduling so the queue can fill: stop the worker
+        service.running = False
+        service.worker.join(timeout=10)
+        service.max_queue = 1
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            sr = 24000
+            ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)).astype(np.float32)
+            buf = io.BytesIO()
+            wavfile.write(buf, sr, (ref * 32767).astype(np.int16))
+            b64 = base64.b64encode(buf.getvalue()).decode()
+
+            def post(body):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/tts",
+                    data=json.dumps(body).encode(),
+                    headers={"Content-Type": "application/json"})
+                return urllib.request.urlopen(req, timeout=10)
+
+            base = {"reference_audio": b64, "reference_text": "hi",
+                    "target_text": "ok.", "nfe_step": 2}
+            # fill the queue directly (worker stopped, so it stays full)
+            service.submit(self._payload())
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                post(base)
+            assert exc.value.code == 429
+            assert exc.value.headers.get("Retry-After") == "1"
+
+            service.pending.clear()  # free the queue
+            too_long = dict(base, target_text="x" * 4000)
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                post(too_long)
+            assert exc.value.code == 400
+        finally:
+            httpd.shutdown()
+            service.shutdown(drain=False, timeout=1)
