@@ -66,6 +66,21 @@ def _chunk_plan(n: int, pref: int) -> list[tuple[int, int]]:
     return chunks
 
 
+def _pv_cast_dtype(v_dtype):
+    """Dtype to cast p to before the PV dot, or None to keep f32 @ f32.
+
+    Read at TRACE time (set F5_TTS_PV_BF16 per process): bf16 K/V inputs
+    run the PV accumulate as bf16 p @ bf16 v with an f32
+    preferred_element_type — the MXU's native rate — instead of the
+    multi-pass f32-operand dot. fp32 inputs always keep the exact f32 dot
+    (parity-path invariant).
+    """
+    if v_dtype == jnp.bfloat16 and _os.environ.get(
+            "F5_TTS_PV_BF16", "0") != "0":
+        return jnp.bfloat16
+    return None
+
+
 def _softmax_over_chunks(q, k_read, v_read, kvlen, sm_scale,
                          chunks, m_scr, l_scr, acc_scr, prune: bool = True):
     """Online softmax over the KV prefix, statically unrolled.
@@ -105,9 +120,81 @@ def _softmax_over_chunks(q, k_read, v_read, kvlen, sm_scale,
         l_scr[...] = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
         v = v_read(start, size)
-        # f32 p @ f32 v (splash-crib): skips the p->bf16 convert pass
-        acc_scr[...] = acc_scr[...] * alpha[:, :dh] + jax.lax.dot(
-            p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+        # PV dot precision: the splash-crib f32 p @ f32 v "skips the
+        # p->bf16 convert pass", but an f32-operand MXU dot costs a
+        # multi-pass decomposition — casting p to the (bf16) v dtype trades
+        # one [bq, ck] VPU convert for a full-rate bf16 dot
+        # (F5_TTS_PV_BF16; engages only when v is bf16 so the fp32 parity
+        # path stays exact). Mirrors the measured F5_TTS_BWD_CAST win.
+        if _pv_cast_dtype(v.dtype) is not None:
+            pv = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot(p, v.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] * alpha[:, :dh] + pv
+
+    for start, size in chunks:
+        if prune:
+            pl.when(start < kvlen)(functools.partial(_chunk, start, size))
+        else:
+            _chunk(start, size)
+
+    l = l_scr[...][:, :dh]
+    return acc_scr[...] * jnp.where(l == 0.0, 1.0, 1.0 / l)
+
+
+STATIC_MAX_C = 16.0  # base-2 logit offset for the no-running-max softmax
+
+
+def _softmax_over_chunks_nomax(q, k_read, v_read, kvlen, sm_scale,
+                               chunks, l_scr, acc_scr, prune: bool = True):
+    """Single-pass softmax with a STATIC max: p = exp2(s - C), no per-chunk
+    max reduce, no m bookkeeping, no accumulator rescales.
+
+    Why exact-enough: softmax(x) == exp2(x-C)/sum(exp2(x-C)) for ANY constant
+    C — the running max only exists to keep exp in floating-point range. In
+    f32 the representable base-2 domain is ±126, so with C=16 any row whose
+    max BASE-2 logit lies in (-110, +133) (raw logit/sm_scale roughly
+    (-76, +92)) computes to full f32 precision; keys further than ~110
+    octaves below C underflow to an EXACT 0 — weights < 2^-110 are zero for
+    every practical purpose. Trained attention logits live within ±50.
+    INFERENCE-ONLY fast path (the lse-emitting training forward keeps the
+    online max); a row whose every key underflows (max raw logit < -76)
+    would return zeros instead of a uniform distribution — outside the
+    contract, checked against trained weights in scripts/staticmax_quality.
+
+    VPU work removed per [bq, ck] chunk vs the online version: the lane-dim
+    max reduce, the m compare/select, exp2(alpha), and the [bq, dh]
+    accumulator rescale — the sum reduce and the fused mask/sub/exp2 pass
+    remain.
+    """
+    dh = q.shape[-1]
+    q = q * jnp.asarray(sm_scale * LOG2E, q.dtype)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    neg = jnp.float32(STATIC_MAX_C - 200.0)  # exp2 -> exact 0 under the mask
+
+    def _chunk(start, size):
+        k = k_read(start, size)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.where(col < kvlen, s, neg)
+        # overflow clamp: rows beyond the contract saturate (near-max keys
+        # become uniform) instead of NaN; fuses into the mask/exp2 chain
+        s = jnp.minimum(s, jnp.float32(STATIC_MAX_C + 120.0))
+        p = jnp.exp2(s - jnp.float32(STATIC_MAX_C))
+        l_scr[...] = l_scr[...] + jnp.sum(p, axis=1)[:, None]
+        v = v_read(start, size)
+        if _pv_cast_dtype(v.dtype) is not None:
+            pv = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot(p, v.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        acc_scr[...] = acc_scr[...] + pv
 
     for start, size in chunks:
         if prune:
@@ -450,6 +537,74 @@ def _kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _kernel_nomax(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+                  *, sm_scale: float, ck: int, prune: bool):
+    """Static-max single-pass variant (F5_TTS_FLASH_STATICMAX=1): drops the
+    online-max VPU chain; inference-only (see _softmax_over_chunks_nomax)."""
+    h = pl.program_id(0)
+    kvlen = kvlen_ref[h]
+    n = k_ref.shape[1]
+    out = _softmax_over_chunks_nomax(
+        q_ref[0],
+        lambda s, z: k_ref[0, pl.ds(s, z), :],
+        lambda s, z: v_ref[0, pl.ds(s, z), :],
+        kvlen, sm_scale, _chunk_plan(n, ck), l_scr, acc_scr,
+        prune=prune)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _kernel_nomax_h2(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+                     *, sm_scale: float, ck: int, prune: bool):
+    """TWO heads per instance (F5_TTS_FLASH_HEADS2=1), static-max softmax.
+
+    The round-3 sweep closed every single-head direction; this is the one
+    untested decomposition CLAUDE.md lists: two independent per-head chains
+    interleaved chunk-by-chunk, so head B's QK dot (MXU) can issue while
+    head A's mask/exp2/sum pass (VPU) drains, instead of the units
+    alternating within one serial chain. Inference-only, like _kernel_nomax.
+    """
+    h = pl.program_id(0)
+    dh = q_ref.shape[-1]
+    kvlens = (kvlen_ref[2 * h], kvlen_ref[2 * h + 1])
+    n = k_ref.shape[1]
+    scale = jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
+    qs = (q_ref[0] * scale, q_ref[1] * scale)
+    l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
+    acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
+    neg = jnp.float32(STATIC_MAX_C - 200.0)
+    clamp = jnp.float32(STATIC_MAX_C + 120.0)
+
+    def _one(sub, start, size):
+        k = k_ref[sub, pl.ds(start, size), :]
+        s = jax.lax.dot_general(qs[sub], k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
+        s = jnp.minimum(jnp.where(col < kvlens[sub], s, neg), clamp)
+        p = jnp.exp2(s - jnp.float32(STATIC_MAX_C))
+        l_scr[sub] = l_scr[sub] + jnp.sum(p, axis=1)[:, None]
+        v = v_ref[sub, pl.ds(start, size), :]
+        if _pv_cast_dtype(v.dtype) is not None:
+            pv = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        else:
+            pv = jax.lax.dot(p, v.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        acc_scr[sub] = acc_scr[sub] + pv
+
+    for start, size in _chunk_plan(n, ck):
+        for sub in (0, 1):
+            if prune:
+                pl.when(start < kvlens[sub])(
+                    functools.partial(_one, sub, start, size))
+            else:
+                _one(sub, start, size)
+
+    for sub in (0, 1):
+        l = l_scr[sub][:, :dh]
+        out = acc_scr[sub] * jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[sub] = out.astype(o_ref.dtype)
+
+
 def _kernel_lse(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *, sm_scale: float, ck: int,
                 prune: bool):
@@ -513,10 +668,56 @@ def _flash_prefix_folded_lse(q, k, v, kv_lens, sm_scale: float,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
 def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
                          bq: int = 256, ck: int = 512, prune: bool = True):
-    """q, k, v: [H, n, d] (batch already folded into heads); kv_lens: [H]."""
+    """q, k, v: [H, n, d] (batch already folded into heads); kv_lens: [H].
+
+    F5_TTS_FLASH_STATICMAX (default 1) selects the single-pass static-max
+    softmax for this inference-only forward; 0 reverts to the online-max
+    kernel (read at trace time — set it per process, not mid-run)."""
     H, n, d = q.shape
     assert n % bq == 0 and n % LANES == 0, (n, bq)
     assert d <= LANES, "head_dim > 128 needs lane tiling in the kernel"
+    # Default ON since round 4: in-model A/B 0.02221 vs 0.02236 bf16 and
+    # 0.01900 vs 0.01921 int8 headline; trained-weight mel deviation 0.3%
+    # relative (PARITY_FLAGSHIP.json staticmax_vs_onlinemax_bf16 — same
+    # softmax math, different f32 rounding). Grad contexts are unaffected
+    # (the custom_vjp fwd routes through the lse-emitting online-max kernel).
+    staticmax = _os.environ.get("F5_TTS_FLASH_STATICMAX", "1") != "0"
+    # two-heads-per-instance (opt-in): interleaved per-head chains so the
+    # MXU and VPU work of different heads can overlap; staticmax-only
+    heads2 = (staticmax and H % 2 == 0
+              and _os.environ.get("F5_TTS_FLASH_HEADS2", "0") != "0")
+    if heads2:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(H // 2, n // bq),
+            in_specs=[
+                pl.BlockSpec((2, bq, d), lambda h, i, *_: (h, i, 0)),
+                pl.BlockSpec((2, n, d), lambda h, i, *_: (h, 0, 0)),
+                pl.BlockSpec((2, n, d), lambda h, i, *_: (h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, bq, d), lambda h, i, *_: (h, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, bq, LANES), jnp.float32),
+                pltpu.VMEM((2, bq, d), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(_kernel_nomax_h2, sm_scale=sm_scale,
+                                   ck=ck, prune=prune)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((H, n, d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=_INTERPRET,
+        )(kv_lens.astype(jnp.int32), q, k, v)
+    scratch = [
+        pltpu.VMEM((bq, LANES), jnp.float32),
+        pltpu.VMEM((bq, d), jnp.float32),
+    ]
+    if not staticmax:
+        scratch = [pltpu.VMEM((bq, LANES), jnp.float32)] + scratch
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(H, n // bq),
@@ -527,13 +728,10 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
             pl.BlockSpec((1, n, d), lambda h, i, *_: (h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda h, i, *_: (h, i, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, LANES), jnp.float32),
-            pltpu.VMEM((bq, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
-    kernel = functools.partial(_kernel, sm_scale=sm_scale, ck=ck, prune=prune)
+    kernel = functools.partial(_kernel_nomax if staticmax else _kernel,
+                               sm_scale=sm_scale, ck=ck, prune=prune)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -63,6 +63,21 @@ def main():
     lens = np.full((b,), cond_len, dtype=np.int64)
     gen_seconds = float((durations - cond_len).sum() * hop / sr)
 
+    # In-run relay-null measurement (CLAUDE.md: relay turnaround swings
+    # 30-45 ms run-to-run — a mixed-batch number is only comparable when the
+    # SAME run records the fenced scalar roundtrip it was paying). The split
+    # path embeds several such turnarounds (4 async group dispatches +
+    # gather), so its absolute wall moves with relay phase; the range +
+    # null make that visible in the artifact instead of a misleading point.
+    null = jax.jit(lambda x: x + 1.0)
+    null(jnp.zeros(()))  # compile
+    null_times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(null(jnp.zeros(())))
+        null_times.append(time.perf_counter() - t0)
+    relay_null_ms = round(float(np.median(null_times)) * 1e3, 1)
+
     results = {}
     for split in (False, True):
         def run():
@@ -74,18 +89,25 @@ def main():
             return np.asarray(out)
 
         run()  # compile
-        t0 = time.perf_counter()
+        per_iter = []
         for _ in range(args.iters):
+            t0 = time.perf_counter()
             run()
-        dt = (time.perf_counter() - t0) / args.iters
-        results["split" if split else "joint"] = dt / gen_seconds
+            per_iter.append((time.perf_counter() - t0) / gen_seconds)
+        results["split" if split else "joint"] = per_iter
+
+    def stats(xs):
+        return {"median": round(float(np.median(xs)), 5),
+                "min": round(min(xs), 5), "max": round(max(xs), 5),
+                "runs": [round(x, 5) for x in xs]}
 
     print(json.dumps({
         "metric": "mixed_batch_wall_per_generated_s",
         "batch": b, "durations": durations.tolist(),
         "mode": "int8" if args.int8 else "bf16",
-        "joint": round(results["joint"], 5),
-        "split": round(results["split"], 5),
+        "joint": stats(results["joint"]),
+        "split": stats(results["split"]),
+        "relay_null_ms": relay_null_ms,
         "round2_baseline": 0.0389, "l20_baseline": 0.0394,
     }))
 

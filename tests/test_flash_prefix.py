@@ -378,3 +378,139 @@ def test_int8_attention_prune_matches_noprune():
     np.testing.assert_allclose(np.asarray(a, np.float32)[:, :, :130],
                                np.asarray(b_, np.float32)[:, :, :130],
                                rtol=1e-6, atol=1e-6)
+
+
+class TestOnlineMaxOptOut:
+    """F5_TTS_FLASH_STATICMAX=0 reverts the inference forward to the
+    online-max kernel (static-max is the default since round 4); keep that
+    kernel covered under the flipped default."""
+
+    @pytest.fixture(autouse=True)
+    def _onlinemax(self, monkeypatch):
+        monkeypatch.setenv("F5_TTS_FLASH_STATICMAX", "0")
+        fp._flash_prefix_folded.clear_cache()
+        yield
+        fp._flash_prefix_folded.clear_cache()
+
+    def test_matches_xla_reference(self):
+        b, h, n, d = 2, 2, 256, 64
+        q, k, v = _rand((b, h, n, d), 21), _rand((b, h, n, d), 22), _rand((b, h, n, d), 23)
+        lens = [100, 256]
+        kv_lens = jnp.asarray(lens, jnp.int32)
+        got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        want = fp._xla_prefix_attention(q, k, v, kv_lens)
+        for i, L in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                       np.asarray(want)[i, :, :L],
+                                       atol=2e-5, rtol=2e-5)
+
+
+class TestStaticMaxSoftmax:
+    """F5_TTS_FLASH_STATICMAX=1 (the default): single-pass softmax with a
+    static base-2 offset (no online max). Mathematically identical within the
+    bounded-logit contract; overflow clamps instead of NaN."""
+
+    @pytest.fixture(autouse=True)
+    def _staticmax(self, monkeypatch):
+        monkeypatch.setenv("F5_TTS_FLASH_STATICMAX", "1")
+        # the jitted wrapper reads the env at trace time; clear its cache so
+        # this test doesn't reuse an online-max trace (and vice versa)
+        fp._flash_prefix_folded.clear_cache()
+        yield
+        fp._flash_prefix_folded.clear_cache()
+
+    @pytest.mark.parametrize("lens", [[100, 256], [256, 256]])
+    def test_matches_xla_reference(self, lens):
+        b, h, n, d = 2, 2, 256, 64
+        q, k, v = _rand((b, h, n, d), 1), _rand((b, h, n, d), 2), _rand((b, h, n, d), 3)
+        kv_lens = jnp.asarray(lens, jnp.int32)
+        got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        want = fp._xla_prefix_attention(q, k, v, kv_lens)
+        for i, L in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                       np.asarray(want)[i, :, :L],
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_prune_matches_noprune(self):
+        b, h, n, d = 1, 2, 512, 64
+        q, k, v = _rand((b, h, n, d), 4), _rand((b, h, n, d), 5), _rand((b, h, n, d), 6)
+        kv_lens = jnp.asarray([130], jnp.int32)
+        a = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        b_ = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, True)
+        np.testing.assert_allclose(np.asarray(a)[:, :, :130],
+                                   np.asarray(b_)[:, :, :130],
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_extreme_logits_clamp_not_nan(self):
+        b, h, n, d = 1, 1, 256, 64
+        q = _rand((b, h, n, d), 7) * 30.0  # raw logits far past the contract
+        k, v = _rand((b, h, n, d), 8), _rand((b, h, n, d), 9)
+        out = np.asarray(fp.flash_prefix_attention(
+            q, k, v, jnp.asarray([256], jnp.int32), 128, 128, False))
+        assert np.isfinite(out).all()
+
+    def test_grad_context_keeps_online_max(self):
+        """Training forwards must NOT switch to the static-max kernel: the
+        custom_vjp fwd routes through the lse-emitting online-max kernel."""
+        b, h, n, d = 1, 2, 256, 64
+        q, k, v = _rand((b, h, n, d), 10), _rand((b, h, n, d), 11), _rand((b, h, n, d), 12)
+        lens = jnp.asarray([256], jnp.int32)
+
+        def f(q_):
+            return fp.flash_prefix_attention(q_, k, v, lens, 128, 128, False).sum()
+
+        g = jax.grad(f)(q)
+        # grads must match the XLA formulation (exact math, loose fp tol)
+        def f_ref(q_):
+            return fp._xla_prefix_attention(q_, k, v, lens).sum()
+
+        g_ref = jax.grad(f_ref)(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=3e-5, rtol=3e-5)
+
+
+class TestHeadsTwoPerInstance:
+    """F5_TTS_FLASH_HEADS2=1: two heads per kernel instance with interleaved
+    chunk chains (staticmax-only). Must match the XLA reference exactly like
+    the single-head kernel does."""
+
+    @pytest.fixture(autouse=True)
+    def _heads2(self, monkeypatch):
+        monkeypatch.setenv("F5_TTS_FLASH_STATICMAX", "1")
+        monkeypatch.setenv("F5_TTS_FLASH_HEADS2", "1")
+        fp._flash_prefix_folded.clear_cache()
+        yield
+        fp._flash_prefix_folded.clear_cache()
+
+    @pytest.mark.parametrize("lens", [[100, 256], [256, 200]])
+    def test_matches_xla_reference(self, lens):
+        b, h, n, d = 2, 2, 256, 64  # folded H = 4 -> two instances
+        q, k, v = _rand((b, h, n, d), 31), _rand((b, h, n, d), 32), _rand((b, h, n, d), 33)
+        kv_lens = jnp.asarray(lens, jnp.int32)
+        got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        want = fp._xla_prefix_attention(q, k, v, kv_lens)
+        for i, L in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                       np.asarray(want)[i, :, :L],
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_prune_matches_noprune(self):
+        b, h, n, d = 1, 2, 512, 64
+        q, k, v = _rand((b, h, n, d), 34), _rand((b, h, n, d), 35), _rand((b, h, n, d), 36)
+        kv_lens = jnp.asarray([130], jnp.int32)
+        a = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        b_ = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, True)
+        np.testing.assert_allclose(np.asarray(a)[:, :, :130],
+                                   np.asarray(b_)[:, :, :130],
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_odd_head_count_falls_back(self):
+        """H odd -> the single-head kernel runs (no shape error)."""
+        b, h, n, d = 1, 3, 256, 64
+        q, k, v = _rand((b, h, n, d), 37), _rand((b, h, n, d), 38), _rand((b, h, n, d), 39)
+        kv_lens = jnp.asarray([200], jnp.int32)
+        got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        want = fp._xla_prefix_attention(q, k, v, kv_lens)
+        np.testing.assert_allclose(np.asarray(got)[:, :, :200],
+                                   np.asarray(want)[:, :, :200],
+                                   atol=2e-5, rtol=2e-5)

@@ -108,6 +108,9 @@ class TestAdviceRound2Fixes:
         svc = TTSService.__new__(TTSService)  # no model; exercise submit's bucket math only
         svc.max_duration = 4096
         svc.nfe_step = 16
+        svc.strict_max_duration = False
+        svc.accepting = True
+        svc.max_queue = 64
         svc.lock = __import__("threading").Lock()
         svc.param_groups = {}
         svc.pending = {}
