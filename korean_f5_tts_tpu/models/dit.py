@@ -414,6 +414,10 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
                 cfg.pe_attn_head, prefix_lens, uniform, tp_mesh,
                 bq=_blk(seq_len, 256), bkv=512)
             if out_tp is not None:
+                from korean_f5_tts_tpu.ops.attention import _record
+
+                _record(f"attn-half-block{'-int8' if attn_int8 else ''}-tp"
+                        f"[shard_map model={tp_mesh.shape['model']}]")
                 h = out_tp
                 attn_tp_done = True
         if attn_fusable and not attn_tp_done:
@@ -461,7 +465,7 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
                 h = proj_gated_residual(a, h, gate_msa,
                                         ap["to_out"]["w"].astype(h.dtype),
                                         ap["to_out"]["b"].astype(h.dtype))
-        else:
+        elif not attn_tp_done:
             norm = layernorm({}, h, eps=1e-6) * (1 + scale_msa[:, None]) + shift_msa[:, None]
             attn_out = attn_fn(blk["attn"], norm, cfg.heads, mask=mask, rope=rope,
                                pe_attn_head=cfg.pe_attn_head,
@@ -487,6 +491,11 @@ def dit_backbone_premod(p: dict, cfg: DiTConfig, h: jax.Array,
             else:
                 out_tp = None
             if out_tp is not None:
+                from korean_f5_tts_tpu.ops.attention import _record
+
+                _record(
+                    f"ff-fused{'-int8' if 'w_int8' in blk['ff']['in'] else ''}"
+                    f"-tp[shard_map model={tp_mesh.shape['model']}]")
                 h = out_tp
                 ff_tp_done = True
         if ff_tp_done:

@@ -183,8 +183,10 @@ def _softmax_over_chunks_nomax(q, k_read, v_read, kvlen, sm_scale,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + start
         s = jnp.where(col < kvlen, s, neg)
         # overflow clamp: rows beyond the contract saturate (near-max keys
-        # become uniform) instead of NaN; fuses into the mask/exp2 chain
-        s = jnp.minimum(s, jnp.float32(STATIC_MAX_C + 120.0))
+        # become uniform) instead of NaN; fuses into the mask/exp2 chain.
+        # +100 (not +126): the f32 denominator sums up to n per-key terms of
+        # 2^(clamp-C), so n*2^100 must stay < 2^128 — finite for n < 2^28.
+        s = jnp.minimum(s, jnp.float32(STATIC_MAX_C + 100.0))
         p = jnp.exp2(s - jnp.float32(STATIC_MAX_C))
         l_scr[...] = l_scr[...] + jnp.sum(p, axis=1)[:, None]
         v = v_read(start, size)
@@ -572,7 +574,7 @@ def _kernel_nomax_h2(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
     neg = jnp.float32(STATIC_MAX_C - 200.0)
-    clamp = jnp.float32(STATIC_MAX_C + 120.0)
+    clamp = jnp.float32(STATIC_MAX_C + 100.0)  # n*2^100 < f32 max for n < 2^28
 
     def _one(sub, start, size):
         k = k_ref[sub, pl.ds(start, size), :]

@@ -38,7 +38,7 @@ def param_partition_spec(path_elems: tuple, leaf) -> P:
     """
     names = [getattr(e, "key", getattr(e, "name", str(e))) for e in path_elems]
     path = "/".join(str(n) for n in names)
-    is_w = names[-1] == "w"
+    is_w = names[-1] in ("w", "w_int8")  # int8 layout shards like its fp weight
     is_b = names[-1] == "b"
     col = any(k in path for k in ("to_q", "to_k", "to_v", "to_q_c", "to_k_c", "to_v_c"))
     col = col or ("ff/in" in path or "ff_x/in" in path or "ff_c/in" in path)
@@ -48,7 +48,8 @@ def param_partition_spec(path_elems: tuple, leaf) -> P:
             return P(None, "model")
         if row:
             return P("model", None)
-    if leaf.ndim == 1 and is_b and col:
+    if leaf.ndim == 1 and (is_b or names[-1] == "w_scale") and col:
+        # per-output-channel vectors (bias, int8 w_scale) follow the columns
         return P("model")
     return P()
 

@@ -320,7 +320,7 @@ class TTSService:
         wav_np = np.asarray(wav_i16)  # ONE readback, int16 (half the f32 bytes)
         for i, it in enumerate(items):
             lo = int(lens[i]) * hop_length
-            hi = (int(durs[i]) - 1) * hop_length
+            hi = int(durs[i]) * hop_length
             w = wav_np[i, lo:hi]
             if w.size == 0:
                 w = np.zeros(hop_length, np.int16)

@@ -505,12 +505,17 @@ class TestServeFastPath:
                       "target_text": "two longer.", "nfe_step": 2, "seed": 1}),
         ]
         svc._synthesize_fast(items)
+        n_ref = model.mel_of_wav_device(ref)[1]
         for it in items:
             assert it.error is None
             wav, out_sr = it.result
             assert out_sr == sr
             assert wav.dtype == np.int16 and wav.size > 0
-            assert wav.size % hop_length == 0
+            # exact generated length: both byte-ratio estimates exceed
+            # max_duration=256 so durations clamp there, and the slice must
+            # include the FINAL frame — duration*hop, not (duration-1)*hop
+            # (reference utils_infer.py:321; round-4 advisor finding)
+            assert wav.size == (256 - n_ref) * hop_length
         # mel cache hit: both items share the ref -> a single cache entry
         assert len(svc._mel_cache) == 1
         assert svc.stats["requests"] == 2
