@@ -72,11 +72,12 @@ def main():
         init_dit(key, arch),
     )
     # int8 weight mode is the HEADLINE since round 3: it meets the <= 0.02
-    # north star (0.0192) with quality proven against the torch oracle chain
-    # (PARITY_FLAGSHIP.json: torch == fp32 at 1.7e-6; int8 adds only 0.35%
-    # relative over bf16's own 0.98%; on trained weights int8 vs fp32 is
-    # 0.0015 abs — under the 1e-2 north star). 0 = bf16, 1 = FF-only int8,
-    # 2 = + attention linears (default).
+    # north star with quality proven against the torch oracle chain
+    # (PARITY_FLAGSHIP.json: torch == fp32 at 1.7e-6 mel MAE; and
+    # flagship_trained_headline_mode — the EXACT stack this bench runs,
+    # int8 weights + static-max softmax, trained flagship weights, headline
+    # shapes — is 0.0078 mel MAE vs fp32, under the 1e-2 north star).
+    # 0 = bf16, 1 = FF-only int8, 2 = + attention linears (default).
     int8_mode = os.environ.get("F5_TTS_BENCH_INT8", "2")
     if int8_mode != "0":
         from korean_f5_tts_tpu.models.quant import quantize_params

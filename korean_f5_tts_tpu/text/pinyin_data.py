@@ -1248,6 +1248,407 @@ _TABLE = """
 帐 zhang4
 """
 
+# round-5 supplement: gaps found by running realistic ZH corpus samples and
+# broad domain sweeps (family/body/animals/food/weather/verbs/etc.) through
+# the table — all standard-Mandarin dictionary readings (most-common/pypinyin
+# default first reading; compound-specific readings go in WORD_OVERRIDES)
+_TABLE2 = """
+专 zhuan1
+丰 feng1
+丽 li4
+举 ju3
+习 xi2
+互 hu4
+企 qi3
+优 you1
+伯 bo2
+依 yi1
+候 hou4
+值 zhi2
+傲 ao4
+凡 fan2
+划 hua4
+列 lie4
+功 gong1
+务 wu4
+努 nu3
+匆 cong1
+博 bo2
+历 li4
+厦 sha4
+参 can1
+取 qu3
+召 zhao4
+台 tai2
+各 ge4
+告 gao4
+味 wei4
+喜 xi3
+图 tu2
+备 bei4
+央 yang1
+奋 fen4
+奏 zou4
+妈 ma1
+妹 mei4
+密 mi4
+庄 zhuang1
+庆 qing4
+座 zuo4
+延 yan2
+引 yin3
+弟 di4
+影 ying3
+待 dai4
+态 tai4
+怎 zen3
+患 huan4
+您 nin2
+惯 guan4
+懈 xie4
+户 hu4
+技 ji4
+担 dan1
+择 ze2
+拳 quan2
+拼 pin1
+挤 ji3
+掌 zhang3
+措 cuo4
+搏 bo2
+撑 cheng1
+支 zhi1
+故 gu4
+效 xiao4
+散 san4
+显 xian3
+景 jing3
+智 zhi4
+欢 huan1
+步 bu4
+求 qiu2
+汽 qi4
+泪 lei4
+消 xiao1
+渐 jian4
+源 yuan2
+演 yan3
+激 ji1
+炼 lian4
+烈 lie4
+爷 ye2
+爸 ba4
+片 pian4
+物 wu4
+珍 zhen1
+球 qiu2
+琴 qin2
+田 tian2
+疾 ji2
+码 ma3
+示 shi4
+祝 zhu4
+稼 jia4
+策 ce4
+练 lian4
+统 tong3
+续 xu4
+耐 nai4
+联 lian2
+胜 sheng4
+腻 ni4
+良 liang2
+范 fan4
+荐 jian4
+获 huo4
+言 yan2
+计 ji4
+认 ren4
+讨 tao3
+诈 zha4
+诉 su4
+该 gai1
+误 wu4
+请 qing3
+象 xiang4
+负 fu4
+责 ze2
+赛 sai4
+赢 ying2
+足 zu2
+转 zhuan3
+较 jiao4
+选 xuan3
+野 ye3
+钢 gang1
+锻 duan4
+阅 yue4
+防 fang2
+随 sui2
+露 lu4
+鞭 bian1
+预 yu4
+飞 fei1
+食 shi2
+饺 jiao3
+香 xiang1
+骄 jiao1
+骗 pian4
+虎 hu3
+览 lan3
+谢 xie4
+京 jing1
+亿 yi4
+仟 qian1
+伍 wu3
+佰 bai3
+侄 zhi2
+兄 xiong1
+兔 tu4
+凤 feng4
+剁 duo4
+剥 bo1
+南 nan2
+叁 san1
+叔 shu1
+吟 yin2
+吼 hou3
+呼 hu1
+咸 xian2
+唇 chun2
+喃 nan2
+嘴 zui3
+嚎 hao2
+塑 su4
+壶 hu2
+壹 yi1
+妇 fu4
+妻 qi1
+姐 jie3
+姑 gu1
+姨 yi2
+婶 shen3
+媳 xi2
+孙 sun1
+巾 jin1
+帘 lian2
+戒 jie4
+扶 fu2
+拌 ban4
+挑 tiao1
+捌 ba1
+捏 nie1
+捣 dao3
+掷 zhi4
+揉 rou2
+握 wo4
+搀 chan1
+搂 lou3
+搓 cuo1
+携 xie2
+摔 shuai1
+晒 shai4
+柒 qi1
+柜 gui4
+桶 tong3
+梳 shu1
+榨 zha4
+泳 yong3
+淋 lin2
+漱 shu4
+灶 zao4
+炉 lu2
+炒 chao3
+炖 dun4
+炸 zha4
+烤 kao3
+烫 tang4
+焖 men4
+煮 zhu3
+熊 xiong2
+熬 ao2
+燕 yan4
+牙 ya2
+狗 gou3
+狮 shi1
+狼 lang2
+猫 mao1
+猴 hou2
+玖 jiu3
+甜 tian2
+皂 zao4
+盆 pen2
+眉 mei2
+睫 jie2
+罐 guan4
+耳 er3
+肆 si4
+肌 ji1
+肘 zhou3
+肝 gan1
+肠 chang2
+肤 fu1
+肩 jian1
+肺 fei4
+肾 shen4
+胃 wei4
+胸 xiong1
+脉 mai4
+脑 nao3
+脚 jiao3
+脸 lian3
+腌 yan1
+腕 wan4
+腥 xing1
+腰 yao1
+腹 fu4
+腿 tui3
+膝 xi1
+臀 tun2
+臂 bi4
+臭 chou4
+舅 jiu4
+舌 she2
+舔 tian3
+苦 ku3
+蒸 zheng1
+虹 hong2
+虾 xia1
+蚁 yi3
+蚊 wen2
+蛇 she2
+蜂 feng1
+蝇 ying2
+蝶 die2
+蟹 xie4
+血 xue4
+衫 shan1
+袖 xiu4
+诵 song4
+豹 bao4
+贰 er4
+趾 zhi3
+踝 huai2
+辣 la4
+酿 niang4
+锅 guo1
+镯 zhuo2
+附 fu4
+陆 lu4
+雀 que4
+雕 diao1
+雹 bao2
+霜 shuang1
+霞 xia2
+颊 jia2
+额 e2
+骨 gu3
+鸟 niao3
+鸭 ya1
+鹅 e2
+鹰 ying1
+鹿 lu4
+默 mo4
+鼠 shu3
+鼻 bi2
+龙 long2
+龟 gui1
+丘 qiu1
+丸 wan2
+乡 xiang1
+假 jia3
+剧 ju4
+勇 yong3
+勤 qin2
+千 qian1
+县 xian4
+吗 ma
+吧 ba
+呀 ya
+呵 he1
+哎 ai1
+哟 yo1
+哦 o2
+哲 zhe2
+唉 ai1
+啊 a
+啤 pi2
+啦 la
+喂 wei4
+善 shan4
+喔 o1
+嘛 ma
+嘿 hei1
+噢 o1
+器 qi4
+坡 po1
+峰 feng1
+忧 you1
+忽 hu1
+悲 bei1
+惰 duo4
+愁 chou2
+愚 yu2
+慎 shen4
+慢 man4
+懒 lan3
+戏 xi4
+摄 she4
+敢 gan3
+晕 yun1
+村 cun1
+枣 zao3
+栗 li4
+森 sen1
+橘 ju2
+款 kuan3
+泉 quan2
+泻 xie4
+港 gang3
+湾 wan1
+溪 xi1
+漠 mo4
+瀑 pu4
+灸 jiu3
+烧 shao1
+症 zheng4
+监 jian1
+省 sheng3
+粥 zhou1
+糕 gao1
+络 luo4
+缓 huan3
+聪 cong1
+航 hang2
+舶 bo2
+船 chuan2
+蕉 jiao1
+蠢 chun3
+诊 zhen3
+诗 shi1
+诚 cheng2
+谦 qian1
+谨 jin3
+谷 gu3
+贷 dai4
+赔 pei2
+赚 zhuan4
+蹈 dao3
+迅 xun4
+邮 you2
+酱 jiang4
+醋 cu4
+针 zhen1
+镇 zhen4
+闷 men4
+陵 ling2
+隧 sui4
+频 pin2
+饼 bing3
+模 mo2
+课 ke4
+"""
+
 # common polyphone words whose per-char defaults would be wrong
 WORD_OVERRIDES = {
     "银行": ["yin2", "hang2"],
@@ -1304,13 +1705,53 @@ WORD_OVERRIDES = {
     "什么": ["shen2", "me"],
     "的确": ["di2", "que4"],
     "目的": ["mu4", "di4"],
+    # round-5 additions (default-reading corrections found by the
+    # hand-derived goldens / corpus sweep)
+    "重庆": ["chong2", "qing4"],
+    "划船": ["hua2", "chuan2"],
+    "划算": ["hua2", "suan4"],
+    "假期": ["jia4", "qi1"],
+    "放假": ["fang4", "jia4"],
+    "请假": ["qing3", "jia4"],
+    "暑假": ["shu3", "jia4"],
+    "寒假": ["han2", "jia4"],
+    "油炸": ["you2", "zha2"],
+    "炸鸡": ["zha2", "ji1"],
+    "大厦": ["da4", "sha4"],
+    "厦门": ["xia4", "men2"],
+    "血液": ["xue4", "ye4"],
+    "流血": ["liu2", "xue4"],
+    "头发": ["tou2", "fa4"],
+    "理发": ["li3", "fa4"],
+    "散步": ["san4", "bu4"],
+    "散文": ["san3", "wen2"],
+    "解散": ["jie3", "san4"],
+    "松散": ["song1", "san3"],
+    # 子/头-suffix neutral tone (pypinyin phrase dict semantics: TONE3 drops
+    # the digit on neutral syllables — 日子 -> ri4 zi)
+    "日子": ["ri4", "zi"],
+    "孩子": ["hai2", "zi"],
+    "桌子": ["zhuo1", "zi"],
+    "椅子": ["yi3", "zi"],
+    "房子": ["fang2", "zi"],
+    "儿子": ["er2", "zi"],
+    "样子": ["yang4", "zi"],
+    "妻子": ["qi1", "zi"],
+    "石头": ["shi2", "tou"],
+    "木头": ["mu4", "tou"],
+    # kinship reduplication neutralizes the second syllable for exactly the
+    # pairs whose neutral form exists in the Emilia vocab (ma/ba present;
+    # xie/di/jie absent -> pypinyin emitted full-tone there, no override)
+    "妈妈": ["ma1", "ma"],
+    "爸爸": ["ba4", "ba"],
 }
 
 
 @functools.lru_cache(maxsize=1)
 def char_table() -> dict:
     table = {}
-    for line in _TABLE.strip().splitlines():
+    for line in (_TABLE.strip().splitlines()
+                 + _TABLE2.strip().splitlines()):
         parts = line.split()
         if len(parts) != 2 or parts[1] == "skip":
             continue

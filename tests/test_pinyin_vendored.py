@@ -92,3 +92,37 @@ class TestConvertCharToPinyin:
     def test_punctuation_translation(self):
         out = convert_char_to_pinyin(["a;b"])[0]
         assert ";" not in out and "," in out
+
+
+class TestIndependentGoldens:
+    """Hand-derived goldens (round-4 VERDICT item 5): expected outputs are
+    dictionary-derived pypinyin TONE3+tone_sandhi semantics committed as a
+    fixture that does NOT read the vendored table — a wrong table entry or
+    sandhi rule fails here instead of validating against itself."""
+
+    def test_goldens(self):
+        import json
+
+        path = os.path.join(os.path.dirname(__file__), "goldens",
+                            "pinyin_goldens.json")
+        with open(path, encoding="utf-8") as f:
+            cases = json.load(f)["cases"]
+        assert len(cases) >= 40
+        bad = []
+        for c in cases:
+            got = convert_char_to_pinyin([c["text"]])[0]
+            if got != c["expected"]:
+                bad.append((c["text"], c["why"], got, c["expected"]))
+        assert not bad, "\n".join(map(str, bad))
+
+    def test_golden_syllables_in_reference_vocab(self, vocab):
+        import json
+
+        path = os.path.join(os.path.dirname(__file__), "goldens",
+                            "pinyin_goldens.json")
+        with open(path, encoding="utf-8") as f:
+            cases = json.load(f)["cases"]
+        for c in cases:
+            for t in c["expected"]:
+                if len(t) > 1 and t[0].islower():  # pinyin syllable tokens
+                    assert t in vocab, (c["text"], t)
