@@ -557,13 +557,16 @@ def _kernel_nomax(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
 
 def _kernel_nomax_h2(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
                      *, sm_scale: float, ck: int, prune: bool):
-    """TWO heads per instance (F5_TTS_FLASH_HEADS2=1), static-max softmax.
+    """TWO heads per instance (F5_TTS_FLASH_HEADS2, default ON), static-max
+    softmax.
 
-    The round-3 sweep closed every single-head direction; this is the one
-    untested decomposition CLAUDE.md lists: two independent per-head chains
+    The round-3 sweep closed every single-head direction; this is the last
+    decomposition CLAUDE.md listed: two independent per-head chains
     interleaved chunk-by-chunk, so head B's QK dot (MXU) can issue while
     head A's mask/exp2/sum pass (VPU) drains, instead of the units
-    alternating within one serial chain. Inference-only, like _kernel_nomax.
+    alternating within one serial chain. Measured round 5 (same-run
+    headline-protocol A/B): bf16 0.02185 vs 0.02216, int8 0.01871 vs
+    0.01901. Inference-only, like _kernel_nomax.
     """
     h = pl.program_id(0)
     dh = q_ref.shape[-1]
@@ -684,10 +687,15 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
     # softmax math, different f32 rounding). Grad contexts are unaffected
     # (the custom_vjp fwd routes through the lse-emitting online-max kernel).
     staticmax = _os.environ.get("F5_TTS_FLASH_STATICMAX", "1") != "0"
-    # two-heads-per-instance (opt-in): interleaved per-head chains so the
-    # MXU and VPU work of different heads can overlap; staticmax-only
+    # two-heads-per-instance (default ON since round 5): interleaved per-head
+    # chains so the MXU and VPU work of different heads can overlap;
+    # staticmax-only. Same-run in-model A/B at the headline protocol:
+    # bf16 0.02185 vs 0.02216, int8 0.01871 vs 0.01901 (~1.5% both modes).
+    # Per-head math is identical to the single-head kernel (same chunk plan,
+    # independent accumulators), so the staticmax parity/quality claims
+    # carry over unchanged. F5_TTS_FLASH_HEADS2=0 reverts.
     heads2 = (staticmax and H % 2 == 0
-              and _os.environ.get("F5_TTS_FLASH_HEADS2", "0") != "0")
+              and _os.environ.get("F5_TTS_FLASH_HEADS2", "1") != "0")
     if heads2:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
