@@ -12,23 +12,65 @@ downloads Whisper; zero-egress builds inject backends).
 from __future__ import annotations
 
 import functools
+import json
 import re
 
 DEFAULT_TTS_MODEL = "F5TTS_v1_Base"
 
+# reference infer_gradio.py:455 — per-type rows pre-built, shown on demand
+MAX_SPEECH_TYPES = 100
+
 
 def parse_speechtypes_text(gen_text: str) -> list[dict]:
-    """Split '{Style} text...' segments (multi-speech-type tab contract)."""
-    tokens = re.split(r"\{(.*?)\}", gen_text)
+    """Split speech-type-tagged script into segments.
+
+    Reference contract (infer_gradio.py:361-392): a tag is either `{Name}`
+    or a JSON dict `{"name": str, "seed": int, "speed": float}`; the current
+    tag applies until the next one; untagged leading text is `Regular` with
+    seed -1 (random) and speed 1.0.
+    """
+    tokens = re.split(r"(\{.*?\})", gen_text)
     segments = []
-    style = "Regular"
+    current = {"name": "Regular", "seed": -1, "speed": 1.0}
     for i, token in enumerate(tokens):
         if i % 2 == 0:
-            if token.strip():
-                segments.append({"style": style, "text": token.strip()})
+            text = token.strip()
+            if text:
+                segments.append({**current, "text": text})
         else:
-            style = token.strip()
+            try:
+                current = json.loads(token.strip())
+                current.setdefault("name", "Regular")
+                current.setdefault("seed", -1)
+                current.setdefault("speed", 1.0)
+            except json.JSONDecodeError:
+                current = {"name": token.strip()[1:-1], "seed": -1,
+                           "speed": 1.0}
     return segments
+
+
+def load_text_from_file(file) -> str:
+    """.txt upload -> textbox value (reference infer_gradio.py:123-130)."""
+    if not file:
+        return ""
+    with open(file, encoding="utf-8") as f:
+        return f.read().strip()
+
+
+def strip_long_silences(wav, sr: int):
+    """In-memory remove_silence_for_generated_wav (utils_infer.py:784-793 —
+    the reference roundtrips through a temp file; same span parameters)."""
+    from korean_f5_tts_tpu.utils import audio as audio_utils
+
+    if wav is None:
+        return wav
+    import numpy as np
+
+    mono = audio_utils.to_mono(np.asarray(wav))
+    spans = audio_utils.split_on_silence_spans(
+        mono, sr, min_silence_ms=1000, silence_threshold_db=-50.0,
+        keep_silence_ms=500)
+    return np.concatenate([mono[s:e] for s, e in spans]) if spans else mono
 
 
 @functools.lru_cache(maxsize=4)
@@ -44,23 +86,37 @@ def _load_model_cached(model_name: str, ckpt_file: str, vocab_file: str,
 
 def synthesize_segments(segments: list[dict], voices: dict[str, dict], model_obj,
                         vocoder, nfe_step: int = 32, **kw):
-    """Render styled segments with per-style reference audio, concatenated."""
+    """Render tagged segments with per-type reference audio, concatenated.
+
+    Per-segment seed/speed follow the reference's multistyle generate loop
+    (infer_gradio.py:653-700): seed -1 draws a fresh random seed, and the
+    resolved value is reported back for the cherry-pick panel. Returns
+    (wav, sr, used) where used lists {name, seed, speed, text} per segment.
+    """
     import numpy as np
 
     from korean_f5_tts_tpu.infer.utils_infer import infer_process
 
-    out = []
+    out, used = [], []
     sr = 24_000
     for seg in segments:
-        v = voices.get(seg["style"], voices.get("Regular"))
+        name = seg.get("name", seg.get("style", "Regular"))
+        v = voices.get(name, voices.get("Regular"))
         if v is None:
             continue
+        seed = int(seg.get("seed", -1))
+        if seed < 0:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        speed = float(seg.get("speed", 1.0))
         wav, sr, _ = infer_process(
             (v["ref_wav"], v["sr"]), v["ref_text"], seg["text"], model_obj,
-            vocoder, nfe_step=nfe_step, show_info=lambda *a: None, **kw,
+            vocoder, nfe_step=nfe_step, show_info=lambda *a: None,
+            seed=seed, speed=speed, **kw,
         )
         out.append(wav)
-    return (np.concatenate(out) if out else None), sr
+        used.append({"name": name, "seed": seed, "speed": speed,
+                     "text": seg["text"]})
+    return (np.concatenate(out) if out else None), sr, used
 
 
 def chat_model_inference(messages: list[dict], model, tokenizer,
@@ -176,6 +232,8 @@ def build_app(model_name: str = DEFAULT_TTS_MODEL, ckpt_file: str = "",
             audio, ref_text, gen_text, model_obj, vocoder,
             cross_fade_duration=cross_fade, nfe_step=int(nfe_step), speed=speed,
         )
+        if remove_silence:
+            wav = strip_long_silences(wav, sr)
         return (sr, wav)
 
     with gr.Blocks(title="Korean F5-TTS (TPU)") as app:
@@ -195,40 +253,157 @@ def build_app(model_name: str = DEFAULT_TTS_MODEL, ckpt_file: str = "",
                       [ref_audio, ref_text, gen_text, remove_silence, cross_fade,
                        nfe, speed], out)
         with gr.Tab("Multi-Speech-Type"):
-            gr.Markdown("Mark segments as `{Style} text...`; add one reference "
-                        "per style below.")
-            style_names = gr.Textbox(label="Styles (comma-separated)",
-                                     value="Regular,Shouting")
-            style_audios = gr.File(label="One reference wav per style",
-                                   file_count="multiple", type="filepath")
-            style_texts = gr.Textbox(label="Reference texts (one per line)", lines=3)
-            multi_text = gr.Textbox(label="Script with {Style} tags", lines=6)
-            multi_nfe = gr.Slider(4, 64, 32, step=2, label="NFE steps")
-            multi_out = gr.Audio(label="Output")
+            # reference infer_gradio.py:395-749: one mandatory Regular row +
+            # pre-built hidden rows shown/hidden by Add/Delete, per-row
+            # name/audio/ref-text/seed/speed/txt-loader, insert-label buttons
+            # that bake the row's settings into a JSON tag, and a cherry-pick
+            # panel listing the seed each segment actually used.
+            gr.Markdown("Tag segments as `{Name}` or "
+                        '`{"name": ..., "seed": ..., "speed": ...}`; '
+                        "add one reference per speech type below.")
+            st_rows, st_names, st_audios, st_ref_texts = [], [], [], []
+            st_ref_files, st_seeds, st_speeds = [], [], []
+            st_delete_btns, st_insert_btns = [], []
+            for i in range(MAX_SPEECH_TYPES):
+                regular = i == 0
+                with gr.Row(variant="compact", visible=regular) as row:
+                    with gr.Column(scale=1, min_width=160):
+                        name_in = gr.Textbox(
+                            label="Speech Type Name",
+                            value="Regular" if regular else None)
+                        insert_btn = gr.Button("Insert Label",
+                                               variant="secondary")
+                        delete_btn = (None if regular else
+                                      gr.Button("Delete Type", variant="stop"))
+                    with gr.Column(scale=3):
+                        audio_in = gr.Audio(label="Reference Audio",
+                                            type="filepath")
+                    with gr.Column(scale=3):
+                        ref_text_in = gr.Textbox(label="Reference Text", lines=4)
+                        with gr.Row():
+                            seed_in = gr.Slider(
+                                -1, 999, -1, step=1, show_label=False,
+                                info="Seed, -1 for random")
+                            speed_in = gr.Slider(
+                                0.3, 2.0, 1.0, step=0.1, show_label=False,
+                                info="Adjust the speed")
+                    with gr.Column(scale=1, min_width=160):
+                        ref_file_in = gr.File(
+                            label="Load Reference Text from File (.txt)",
+                            file_types=[".txt"])
+                st_rows.append(row)
+                st_names.append(name_in)
+                st_audios.append(audio_in)
+                st_ref_texts.append(ref_text_in)
+                st_ref_files.append(ref_file_in)
+                st_seeds.append(seed_in)
+                st_speeds.append(speed_in)
+                st_delete_btns.append(delete_btn)
+                st_insert_btns.append(insert_btn)
+                # clearing the audio clears its ref text + file
+                audio_in.clear(lambda: [None, None], None,
+                               [ref_text_in, ref_file_in])
+                ref_file_in.upload(load_text_from_file, [ref_file_in],
+                                   [ref_text_in])
 
-            def multi_tts(names, files, texts, script, nfe_step):
+            add_btn = gr.Button("Add Speech Type")
+            st_count = gr.State(1)
+
+            def add_speech_type(count):
+                updates = [gr.update() for _ in range(MAX_SPEECH_TYPES)]
+                if count < MAX_SPEECH_TYPES:
+                    updates[count] = gr.update(visible=True)
+                    count += 1
+                else:
+                    gr.Warning("Exhausted maximum number of speech types.")
+                return [count] + updates
+
+            add_btn.click(add_speech_type, [st_count], [st_count] + st_rows)
+
+            def delete_speech_type():
+                return gr.update(visible=False), None, None, None, None
+
+            for i in range(1, MAX_SPEECH_TYPES):
+                st_delete_btns[i].click(
+                    delete_speech_type,
+                    outputs=[st_rows[i], st_names[i], st_audios[i],
+                             st_ref_texts[i], st_ref_files[i]])
+
+            with gr.Row():
+                multi_text = gr.Textbox(
+                    label="Text to Generate", lines=10, scale=4,
+                    placeholder="{Regular} Hello. {Shouting} HEY!")
+                multi_text_file = gr.File(
+                    label="Load Text to Generate from File (.txt)",
+                    file_types=[".txt"], scale=1)
+            multi_text_file.upload(load_text_from_file, [multi_text_file],
+                                   [multi_text])
+
+            def make_insert_fn(index):
+                def insert_fn(current_text, name, seed, speed):
+                    current_text = current_text or ""
+                    if not name:
+                        gr.Warning("Please enter speech type name before insert.")
+                        return current_text
+                    tag = json.dumps({"name": name, "seed": int(seed),
+                                      "speed": float(speed)})
+                    return current_text + tag + " "
+                return insert_fn
+
+            for i, btn_i in enumerate(st_insert_btns):
+                btn_i.click(make_insert_fn(i),
+                            [multi_text, st_names[i], st_seeds[i], st_speeds[i]],
+                            multi_text)
+
+            with gr.Accordion("Advanced Settings", open=True):
+                with gr.Row():
+                    show_cherrypick = gr.Checkbox(
+                        label="Show Cherry-pick Interface", value=False,
+                        info="Show the seeds previous generations used.")
+                    remove_silence_multi = gr.Checkbox(
+                        label="Remove Silences", value=True)
+                    multi_nfe = gr.Slider(4, 64, 32, step=2, label="NFE steps")
+
+            generate_multi_btn = gr.Button("Generate Multi-Style Speech",
+                                           variant="primary")
+            multi_out = gr.Audio(label="Synthesized Audio")
+            cherrypick_box = gr.Textbox(label="Cherry-pick Interface",
+                                        lines=10, interactive=False,
+                                        visible=False)
+            show_cherrypick.change(lambda vis: gr.update(visible=vis),
+                                   show_cherrypick, cherrypick_box)
+
+            def multi_tts(script, nfe_step, remove_silence, *flat):
                 from korean_f5_tts_tpu.utils.audio import load_wav, to_mono
 
-                names = [n.strip() for n in names.split(",") if n.strip()]
-                texts_list = [t.strip() for t in (texts or "").splitlines()]
+                n = MAX_SPEECH_TYPES
+                names, audios, texts = flat[:n], flat[n:2 * n], flat[2 * n:3 * n]
                 voices = {}
-                for i, name in enumerate(names):
-                    if files and i < len(files):
-                        wav, sr = load_wav(files[i])
-                        voices[name] = {
-                            "ref_wav": to_mono(wav), "sr": sr,
-                            "ref_text": texts_list[i] if i < len(texts_list) else "",
-                        }
+                for name, path, rtext in zip(names, audios, texts):
+                    if not (name and path):
+                        continue
+                    wav, sr = load_wav(path)
+                    voices[name.strip()] = {"ref_wav": to_mono(wav), "sr": sr,
+                                            "ref_text": rtext or ""}
                 segments = parse_speechtypes_text(script)
-                wav, sr = synthesize_segments(segments, voices, model_obj, vocoder,
-                                              nfe_step=int(nfe_step))
-                return (sr, wav)
+                missing = {s["name"] for s in segments} - set(voices)
+                if missing:
+                    gr.Warning(f"No reference audio for type(s): {missing}")
+                wav, sr, used = synthesize_segments(
+                    segments, voices, model_obj, vocoder,
+                    nfe_step=int(nfe_step))
+                if remove_silence:
+                    wav = strip_long_silences(wav, sr)
+                lines = "\n".join(
+                    f'{{"name": "{u["name"]}", "seed": {u["seed"]}, '
+                    f'"speed": {u["speed"]}}} {u["text"]}' for u in used)
+                return (sr, wav), lines
 
-            gr.Button("Synthesize script", variant="primary").click(
+            generate_multi_btn.click(
                 multi_tts,
-                [style_names, style_audios, style_texts, multi_text, multi_nfe],
-                multi_out,
-            )
+                [multi_text, multi_nfe, remove_silence_multi]
+                + st_names + st_audios + st_ref_texts,
+                [multi_out, cherrypick_box])
         with gr.Tab("Voice Chat"):
             gr.Markdown("Have a conversation with an AI using your reference "
                         "voice. Requires a local chat LLM checkpoint "

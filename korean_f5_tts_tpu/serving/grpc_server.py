@@ -45,6 +45,15 @@ def _submit_mapped(service, payload, context, grpc):
         context.abort(grpc.StatusCode.UNAVAILABLE, str(e))
 
 
+def _estimate_frames(ref_wav, sr: int, ref_text: str, target_text: str) -> int:
+    """Byte-ratio duration estimate for bucketing/overload gating — the same
+    heuristic the HTTP frontend applies (server.py:525-528); a hardcoded
+    estimate would bucket long-text requests into a too-small shape."""
+    ref_frames = len(ref_wav) / sr * 24000 / 256
+    ratio = len(target_text.encode()) / max(len(ref_text.encode()), 1)
+    return int(ref_frames * (1 + ratio))
+
+
 def _json_ser(obj) -> bytes:
     return json.dumps(obj).encode()
 
@@ -79,7 +88,9 @@ def make_grpc_server(service, host: str = "0.0.0.0", port: int = 8001,
             "cfg_strength": request.get("cfg_strength", 2.0),
             "sway_sampling_coef": request.get("sway_sampling_coef", -1.0),
             "seed": request.get("seed"),
-            "_duration_frames": 1024,
+            "_duration_frames": _estimate_frames(
+                ref_wav, int(sr), request["reference_text"],
+                request["target_text"]),
         }
         item = _submit_mapped(service, payload, context, grpc)
         if not item.event.wait(timeout=600):
@@ -128,7 +139,8 @@ def make_grpc_server(service, host: str = "0.0.0.0", port: int = 8001,
             "sr": 24000,  # protocol contract: client resamples to 24 kHz
             "ref_text": ref_text,
             "target_text": target_text,
-            "_duration_frames": 1024,
+            "_duration_frames": _estimate_frames(ref_wav, 24000, ref_text,
+                                                 target_text),
         }
         item = _submit_mapped(service, payload, context, grpc)
         if not item.event.wait(timeout=600):

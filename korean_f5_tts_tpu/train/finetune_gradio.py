@@ -136,6 +136,49 @@ def system_stats() -> dict:
     return stats
 
 
+def get_accelerator_stats() -> str:
+    """Per-device accelerator report (reference finetune_gradio.py:1269-1320
+    get_gpu_stats role, re-targeted: TPU devices via jax, HBM numbers from
+    device.memory_stats() where the backend exposes them)."""
+    lines = []
+    try:
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            lines.append(f"Device {i} Name: {d.device_kind} ({d.platform})")
+            try:
+                ms = d.memory_stats() or {}
+            except Exception:
+                ms = {}
+            if ms:
+                total = ms.get("bytes_limit", 0) / 1024**3
+                used = ms.get("bytes_in_use", 0) / 1024**2
+                peak = ms.get("peak_bytes_in_use", 0) / 1024**2
+                lines.append(f"Total HBM (device {i}): {total:.2f} GB")
+                lines.append(f"Allocated HBM (device {i}): {used:.2f} MB")
+                lines.append(f"Peak HBM (device {i}): {peak:.2f} MB")
+            lines.append("")
+    except Exception as e:  # relay outage / no backend
+        lines.append(f"No accelerator available ({e})")
+    return "\n".join(lines).strip() or "No accelerator available"
+
+
+def get_cpu_stats() -> str:
+    """CPU/memory report (reference finetune_gradio.py:1323-1340, psutil-free:
+    /proc is always present in this image)."""
+    s = system_stats()
+    used = s.get("mem_total_gb", 0.0) - s.get("mem_available_gb", 0.0)
+    return (f"CPU load (1 min): {s.get('loadavg', '?')}\n"
+            f"System Memory: {used:.1f} GB used / "
+            f"{s.get('mem_total_gb', 0.0):.1f} GB total")
+
+
+def get_combined_stats() -> str:
+    """### GPU/### CPU combined panel text (finetune_gradio.py:1343-1347)."""
+    return (f"### Accelerator Stats\n{get_accelerator_stats()}\n\n"
+            f"### CPU Stats\n{get_cpu_stats()}")
+
+
 # ---------------------------------------------------------------------------
 # settings persistence (finetune_gradio.py:61-173)
 # ---------------------------------------------------------------------------
@@ -560,6 +603,12 @@ def build_app():  # pragma: no cover - requires gradio
                 gr.Button("Prune").click(_prune, [project, ck_in], pr_out)
 
             with gr.TabItem("System Info"):
+                # reference finetune_gradio.py:1833-1845: stats textbox +
+                # Update Stats button driving get_combined_stats
+                stats_box = gr.Textbox(label="GPU and CPU Information",
+                                       lines=20)
+                gr.Button("Update Stats").click(
+                    lambda: get_combined_stats(), outputs=stats_box)
                 gr.JSON(system_stats, label="System")
     return app
 

@@ -106,6 +106,9 @@ class Component:
     def select(self, fn, inputs=None, outputs=None, **kw):
         return self._register("select", fn, inputs, outputs, **kw)
 
+    def clear(self, fn, inputs=None, outputs=None, **kw):
+        return self._register("clear", fn, inputs, outputs, **kw)
+
 
 class Container(Component):
     def __init__(self, *args, **kwargs):
@@ -166,6 +169,17 @@ def update(**kwargs):
     return {"__type__": "update", **kwargs}
 
 
+_WARNINGS: list[str] = []  # tests assert on these; real gradio toasts
+
+
+def Warning(msg: str = "", *a, **k):  # noqa: N802 - gradio API name
+    _WARNINGS.append(msg)
+
+
+def Info(msg: str = "", *a, **k):  # noqa: N802
+    _WARNINGS.append(msg)
+
+
 _COMPONENTS = [
     "Markdown", "HTML", "Textbox", "Number", "Slider", "Checkbox", "Button",
     "Audio", "Microphone", "File", "Dropdown", "Radio", "Chatbot", "State",
@@ -180,6 +194,8 @@ def make_module() -> types.ModuleType:
     mod.Blocks = Blocks
     mod.update = update
     mod.Event = Event
+    mod.Warning = Warning
+    mod.Info = Info
     for name in _COMPONENTS:
         setattr(mod, name, type(name, (Component,), {}))
     for name in _CONTAINERS:

@@ -47,6 +47,88 @@ class TestInferGradioApp:
         triggers = {e.trigger for e in app.all_events}
         assert {"click", "submit", "stop_recording"} <= triggers
 
+    def test_multistyle_control_inventory(self, gradio_stub, monkeypatch):
+        """Tab-by-tab control parity with reference infer_gradio.py:395-749:
+        per-type rows (name/insert/delete/audio/ref-text/seed/speed/file),
+        add button, script textbox + file loader, cherry-pick panel."""
+        import korean_f5_tts_tpu.infer.infer_gradio as ig
+
+        monkeypatch.setattr(ig, "_load_model_cached", lambda *a, **k: object())
+        import korean_f5_tts_tpu.api as api
+
+        monkeypatch.setattr(api, "load_vocoder", lambda *a, **k: (lambda m: m))
+        app = ig.build_app(model_name="tiny")
+        tab = next(c for c in app.walk() if type(c).__name__ == "Tab"
+                   and c.label == "Multi-Speech-Type")
+        comps = list(tab.walk())
+
+        def count(cls, label=None):
+            return sum(1 for c in comps if type(c).__name__ == cls
+                       and (label is None or c.label == label))
+
+        n = ig.MAX_SPEECH_TYPES
+        assert count("Textbox", "Speech Type Name") == n
+        assert count("Button", "Insert Label") == n
+        assert count("Button", "Delete Type") == n - 1  # Regular is mandatory
+        assert count("Audio", "Reference Audio") == n
+        assert count("Textbox", "Reference Text") == n
+        assert count("File", "Load Reference Text from File (.txt)") == n
+        assert count("Slider") >= 2 * n  # seed + speed per row
+        assert count("Button", "Add Speech Type") == 1
+        assert count("Button", "Generate Multi-Style Speech") == 1
+        assert count("Textbox", "Cherry-pick Interface") == 1
+        assert count("Checkbox", "Show Cherry-pick Interface") == 1
+        assert count("Checkbox", "Remove Silences") == 1
+        assert count("File", "Load Text to Generate from File (.txt)") == 1
+        # per-row wiring: audio clear + ref-text-file upload registered
+        triggers = {e.trigger for e in app.all_events}
+        assert {"clear", "upload", "change"} <= triggers
+
+    def test_multistyle_add_delete_insert(self, gradio_stub, monkeypatch):
+        import korean_f5_tts_tpu.infer.infer_gradio as ig
+
+        monkeypatch.setattr(ig, "_load_model_cached", lambda *a, **k: object())
+        import korean_f5_tts_tpu.api as api
+
+        monkeypatch.setattr(api, "load_vocoder", lambda *a, **k: (lambda m: m))
+        app = ig.build_app(model_name="tiny")
+        # Add Speech Type: row 1 becomes visible, count increments
+        add = app.find("Button", "Add Speech Type")
+        out = add.events[0].fire(1)
+        assert out[0] == 2
+        assert out[2] == {"__type__": "update", "visible": True}
+        assert out[1] == {"__type__": "update"}  # row 0 untouched
+        # Delete Type: hides the row and clears its fields
+        delete = app.find("Button", "Delete Type")
+        upd, name, audio, ref_text, ref_file = delete.events[0].fire()
+        assert upd == {"__type__": "update", "visible": False}
+        assert name is None and audio is None
+        # Insert Label bakes name/seed/speed into a JSON tag
+        insert = app.find("Button", "Insert Label")
+        ev = insert.events[0]
+        text = ev.fn("hello ", "Regular", -1, 1.0)
+        assert text == 'hello {"name": "Regular", "seed": -1, "speed": 1.0} '
+        # empty name warns and leaves text unchanged
+        from korean_f5_tts_tpu.utils import gradio_stub as gs
+
+        gs._WARNINGS.clear()
+        assert ev.fn("abc", "", -1, 1.0) == "abc"
+        assert gs._WARNINGS
+
+    def test_finetune_stats_panel(self, gradio_stub, monkeypatch, tmp_path):
+        """System Info tab parity (reference finetune_gradio.py:1833-1845):
+        Update Stats -> combined accelerator+CPU report in the textbox."""
+        monkeypatch.chdir(tmp_path)
+        import korean_f5_tts_tpu.train.finetune_gradio as fg
+
+        app = fg.build_app()
+        box = app.find("Textbox", "GPU and CPU Information")
+        btn = app.find("Button", "Update Stats")
+        assert box is not None and btn is not None
+        btn.events[0].fire()
+        assert "### CPU Stats" in box.value
+        assert "System Memory:" in box.value
+
     def test_voice_chat_clear_fires(self, gradio_stub, monkeypatch):
         import korean_f5_tts_tpu.infer.infer_gradio as ig
 

@@ -55,16 +55,28 @@ class TestGradioHelpers:
 
         segs = parse_speechtypes_text("{Regular} Hello. {Shouting} HEY! {Regular} ok")
         assert segs == [
-            {"style": "Regular", "text": "Hello."},
-            {"style": "Shouting", "text": "HEY!"},
-            {"style": "Regular", "text": "ok"},
+            {"name": "Regular", "seed": -1, "speed": 1.0, "text": "Hello."},
+            {"name": "Shouting", "seed": -1, "speed": 1.0, "text": "HEY!"},
+            {"name": "Regular", "seed": -1, "speed": 1.0, "text": "ok"},
         ]
 
     def test_no_tag_defaults_regular(self):
         from korean_f5_tts_tpu.infer.infer_gradio import parse_speechtypes_text
 
         assert parse_speechtypes_text("plain text") == [
-            {"style": "Regular", "text": "plain text"}
+            {"name": "Regular", "seed": -1, "speed": 1.0, "text": "plain text"}
+        ]
+
+    def test_json_tag_with_seed_and_speed(self):
+        # reference infer_gradio.py:361-392: a tag may be a JSON dict
+        from korean_f5_tts_tpu.infer.infer_gradio import parse_speechtypes_text
+
+        segs = parse_speechtypes_text(
+            '{"name": "S1_Happy", "seed": 7, "speed": 1.2} hi there '
+            "{Sad} oh no")
+        assert segs == [
+            {"name": "S1_Happy", "seed": 7, "speed": 1.2, "text": "hi there"},
+            {"name": "Sad", "seed": -1, "speed": 1.0, "text": "oh no"},
         ]
 
     def test_build_app_requires_gradio(self):
