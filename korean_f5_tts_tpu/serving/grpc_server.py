@@ -289,6 +289,10 @@ def main(argv=None):  # pragma: no cover - thin CLI
     p.add_argument("--port", type=int, default=8001)
     p.add_argument("--nfe_step", type=int, default=16)
     p.add_argument("--device", default=None)
+    p.add_argument("--warm_buckets", type=int, nargs="*", default=[],
+                   help="precompile these duration buckets before serving "
+                        "(same semantics as the HTTP frontend's flag)")
+    p.add_argument("--warm_text_tokens", type=int, default=16)
     args = p.parse_args(argv)
     if args.device:
         import jax
@@ -305,7 +309,13 @@ def main(argv=None):  # pragma: no cover - thin CLI
 
     model_obj = load_model(preset_model_config(args.model), ckpt_path=args.ckpt_file,
                            vocab_file=args.vocab_file)
-    service = TTSService(model_obj, load_vocoder("vocos"), nfe_step=args.nfe_step)
+    vocoder = load_vocoder("vocos")
+    if args.warm_buckets:
+        from korean_f5_tts_tpu.serving.server import warm_start
+
+        warm_start(model_obj, vocoder, args.warm_buckets, args.nfe_step,
+                   text_tokens=args.warm_text_tokens)
+    service = TTSService(model_obj, vocoder, nfe_step=args.nfe_step)
     server = make_grpc_server(service, port=args.port)
     server.start()
     print(f"gRPC serving on :{args.port}")
