@@ -811,3 +811,70 @@ class TestOverloadBehavior:
         finally:
             httpd.shutdown()
             service.shutdown(drain=False, timeout=1)
+
+
+class TestWarmStart:
+    """warm_start is the production precompile path (server.py --warm_buckets,
+    grpc_server.py --warm_buckets); both vocoder branches must actually
+    compile the graphs the service later dispatches."""
+
+    def _tiny(self):
+        from korean_f5_tts_tpu.config import DiTConfig, ModelConfig
+        from korean_f5_tts_tpu.infer.model import load_model
+
+        arch = DiTConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                         mel_dim=100, text_num_embeds=40, text_dim=16,
+                         conv_layers=1)
+        model = load_model(ModelConfig(name="tiny", backbone="DiT", arch=arch,
+                                       tokenizer="custom"), use_n2gk_plus=False)
+        model.vocab_char_map = {
+            c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!")}
+        return model
+
+    def test_fused_branch_then_serve(self):
+        """Fused-capable vocoder (params/vcfg attrs, like api.load_vocoder):
+        warm_start must compile serve_sample's fused program and the mel
+        front-end buckets, and a subsequent request reuses them."""
+        import jax
+
+        from korean_f5_tts_tpu.models.vocos import (VocosConfig, init_vocos,
+                                                     vocos_decode)
+        from korean_f5_tts_tpu.serving.server import TTSService, warm_start
+
+        model = self._tiny()
+        vcfg = VocosConfig(dim=16, intermediate_dim=32, num_layers=1)
+        vp = init_vocos(jax.random.PRNGKey(0), vcfg)
+        decode = jax.jit(lambda m: vocos_decode(vp, m, vcfg))
+        decode.params = vp
+        decode.vcfg = vcfg
+        warm_start(model, decode, [128], 2, text_tokens=8)
+
+        service = TTSService(model, decode, nfe_step=2)
+        try:
+            sr = 24000
+            ref = (0.2 * np.sin(2 * np.pi * 220 * np.arange(sr) / sr)
+                   ).astype(np.float32)
+            it = service.submit({"ref_wav": ref, "sr": sr, "ref_text": "hi",
+                                 "target_text": "a test.", "nfe_step": 2,
+                                 "seed": 1, "_duration_frames": 100})
+            assert it.event.wait(timeout=300) and it.error is None
+            wav, out_sr = it.result
+            assert out_sr == 24000 and len(np.asarray(wav).reshape(-1)) > 4000
+            assert np.isfinite(np.asarray(wav)).all()
+        finally:
+            service.shutdown(drain=False, timeout=1)
+
+    def test_plain_vocoder_branch(self):
+        """Vocoder without params/vcfg (plain callable): the non-fused branch
+        warms cfm_sample + the 256-frame-bucketed vocoder decode lengths."""
+        import jax
+
+        from korean_f5_tts_tpu.models.vocos import (VocosConfig, init_vocos,
+                                                     vocos_decode)
+        from korean_f5_tts_tpu.serving.server import warm_start
+
+        model = self._tiny()
+        vcfg = VocosConfig(dim=16, intermediate_dim=32, num_layers=1)
+        vp = init_vocos(jax.random.PRNGKey(0), vcfg)
+        vocoder = jax.jit(lambda m: vocos_decode(vp, m, vcfg))
+        warm_start(model, vocoder, [256], 2, text_tokens=8)
