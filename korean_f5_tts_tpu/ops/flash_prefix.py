@@ -555,25 +555,25 @@ def _kernel_nomax(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def _kernel_nomax_h2(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
-                     *, sm_scale: float, ck: int, prune: bool):
-    """TWO heads per instance (F5_TTS_FLASH_HEADS2, default ON), static-max
+def _kernel_nomax_hn(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
+                     *, sm_scale: float, ck: int, prune: bool, nh: int):
+    """nh heads per instance (F5_TTS_FLASH_HEADS, default 2), static-max
     softmax.
 
     The round-3 sweep closed every single-head direction; this is the last
-    decomposition CLAUDE.md listed: two independent per-head chains
+    decomposition CLAUDE.md listed: nh independent per-head chains
     interleaved chunk-by-chunk, so head B's QK dot (MXU) can issue while
     head A's mask/exp2/sum pass (VPU) drains, instead of the units
-    alternating within one serial chain. Measured round 5 (same-run
+    alternating within one serial chain. Measured round 5 at nh=2 (same-run
     headline-protocol A/B): bf16 0.02185 vs 0.02216, int8 0.01871 vs
     0.01901. Inference-only, like _kernel_nomax.
     """
     h = pl.program_id(0)
     dh = q_ref.shape[-1]
-    kvlens = (kvlen_ref[2 * h], kvlen_ref[2 * h + 1])
+    kvlens = tuple(kvlen_ref[nh * h + s] for s in range(nh))
     n = k_ref.shape[1]
     scale = jnp.asarray(sm_scale * LOG2E, q_ref.dtype)
-    qs = (q_ref[0] * scale, q_ref[1] * scale)
+    qs = tuple(q_ref[s] * scale for s in range(nh))
     l_scr[...] = jnp.zeros(l_scr.shape, jnp.float32)
     acc_scr[...] = jnp.zeros(acc_scr.shape, jnp.float32)
     neg = jnp.float32(STATIC_MAX_C - 200.0)
@@ -597,14 +597,14 @@ def _kernel_nomax_h2(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
         acc_scr[sub] = acc_scr[sub] + pv
 
     for start, size in _chunk_plan(n, ck):
-        for sub in (0, 1):
+        for sub in range(nh):
             if prune:
                 pl.when(start < kvlens[sub])(
                     functools.partial(_one, sub, start, size))
             else:
                 _one(sub, start, size)
 
-    for sub in (0, 1):
+    for sub in range(nh):
         l = l_scr[sub][:, :dh]
         out = acc_scr[sub] * jnp.where(l == 0.0, 1.0, 1.0 / l)
         o_ref[sub] = out.astype(o_ref.dtype)
@@ -687,32 +687,36 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
     # softmax math, different f32 rounding). Grad contexts are unaffected
     # (the custom_vjp fwd routes through the lse-emitting online-max kernel).
     staticmax = _os.environ.get("F5_TTS_FLASH_STATICMAX", "1") != "0"
-    # two-heads-per-instance (default ON since round 5): interleaved per-head
-    # chains so the MXU and VPU work of different heads can overlap;
-    # staticmax-only. Same-run in-model A/B at the headline protocol:
-    # bf16 0.02185 vs 0.02216, int8 0.01871 vs 0.01901 (~1.5% both modes).
-    # Per-head math is identical to the single-head kernel (same chunk plan,
-    # independent accumulators), so the staticmax parity/quality claims
-    # carry over unchanged. F5_TTS_FLASH_HEADS2=0 reverts.
-    heads2 = (staticmax and H % 2 == 0
-              and _os.environ.get("F5_TTS_FLASH_HEADS2", "1") != "0")
-    if heads2:
+    # multi-heads-per-instance (default 2 since round 5): interleaved
+    # per-head chains so the MXU and VPU work of different heads can
+    # overlap; staticmax-only. Same-run in-model A/B at the headline
+    # protocol (nh=2 vs 1): bf16 0.02185 vs 0.02216, int8 0.01871 vs
+    # 0.01901 (~1.5% both modes). Per-head math is identical to the
+    # single-head kernel (same chunk plan, independent accumulators), so
+    # the staticmax parity/quality claims carry over unchanged.
+    # F5_TTS_FLASH_HEADS overrides the chain count (1 disables);
+    # F5_TTS_FLASH_HEADS2=0 is the legacy disable switch.
+    if "F5_TTS_FLASH_HEADS" in _os.environ:
+        nh = max(1, int(_os.environ["F5_TTS_FLASH_HEADS"]))
+    else:
+        nh = 2 if _os.environ.get("F5_TTS_FLASH_HEADS2", "1") != "0" else 1
+    if staticmax and nh > 1 and H % nh == 0:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(H // 2, n // bq),
+            grid=(H // nh, n // bq),
             in_specs=[
-                pl.BlockSpec((2, bq, d), lambda h, i, *_: (h, i, 0)),
-                pl.BlockSpec((2, n, d), lambda h, i, *_: (h, 0, 0)),
-                pl.BlockSpec((2, n, d), lambda h, i, *_: (h, 0, 0)),
+                pl.BlockSpec((nh, bq, d), lambda h, i, *_: (h, i, 0)),
+                pl.BlockSpec((nh, n, d), lambda h, i, *_: (h, 0, 0)),
+                pl.BlockSpec((nh, n, d), lambda h, i, *_: (h, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((2, bq, d), lambda h, i, *_: (h, i, 0)),
+            out_specs=pl.BlockSpec((nh, bq, d), lambda h, i, *_: (h, i, 0)),
             scratch_shapes=[
-                pltpu.VMEM((2, bq, LANES), jnp.float32),
-                pltpu.VMEM((2, bq, d), jnp.float32),
+                pltpu.VMEM((nh, bq, LANES), jnp.float32),
+                pltpu.VMEM((nh, bq, d), jnp.float32),
             ],
         )
-        kernel = functools.partial(_kernel_nomax_h2, sm_scale=sm_scale,
-                                   ck=ck, prune=prune)
+        kernel = functools.partial(_kernel_nomax_hn, sm_scale=sm_scale,
+                                   ck=ck, prune=prune, nh=nh)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

@@ -389,14 +389,21 @@ def mode_trained_flagship(steps_trained: int = 1000):
     # has one committed number measured under the configuration bench.py
     # actually runs (round-4 VERDICT item 1)
     staticmax = os.environ.get("F5_TTS_FLASH_STATICMAX", "1") != "0"
-    heads2 = os.environ.get("F5_TTS_FLASH_HEADS2", "0") != "0"
+    # mirror ops/flash_prefix._flash_prefix_folded's resolution exactly so
+    # the recorded stack matches what the kernel actually ran
+    if "F5_TTS_FLASH_HEADS" in os.environ:
+        heads_per = max(1, int(os.environ["F5_TTS_FLASH_HEADS"]))
+    else:
+        heads_per = 2 if os.environ.get("F5_TTS_FLASH_HEADS2", "1") != "0" else 1
+    if not staticmax:
+        heads_per = 1
     int8_entry = entry["int8"]
     _merge({"flagship_trained_headline_mode": {
         "arch": entry["arch"], "n": n, "nfe": steps, "cond_len": cond_len,
         "stack": {"weights": "int8 (quantize_params, all block linears)",
                   "softmax": "static-max single-pass" if staticmax
                              else "online-max",
-                  "heads2": heads2},
+                  "heads_per_instance": heads_per},
         "mean_abs_mel_fp32": scale,
         "mel_mae_vs_fp32": int8_entry["mel_mae"],
         "rel": int8_entry["rel"],

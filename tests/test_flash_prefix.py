@@ -514,3 +514,50 @@ class TestHeadsTwoPerInstance:
         np.testing.assert_allclose(np.asarray(got)[:, :, :200],
                                    np.asarray(want)[:, :, :200],
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestHeadsNPerInstance:
+    """F5_TTS_FLASH_HEADS=nh generalizes the two-chain kernel to nh
+    interleaved per-head chains. Same math per head, so XLA parity must
+    hold at any nh dividing the folded head count."""
+
+    @pytest.fixture(autouse=True)
+    def _heads4(self, monkeypatch):
+        monkeypatch.setenv("F5_TTS_FLASH_STATICMAX", "1")
+        monkeypatch.setenv("F5_TTS_FLASH_HEADS", "4")
+        fp._flash_prefix_folded.clear_cache()
+        yield
+        fp._flash_prefix_folded.clear_cache()
+
+    @pytest.mark.parametrize("lens", [[100, 256], [256, 200]])
+    def test_matches_xla_reference(self, lens):
+        b, h, n, d = 2, 4, 256, 64  # folded H = 8 -> two instances
+        q, k, v = _rand((b, h, n, d), 41), _rand((b, h, n, d), 42), _rand((b, h, n, d), 43)
+        kv_lens = jnp.asarray(lens, jnp.int32)
+        got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        want = fp._xla_prefix_attention(q, k, v, kv_lens)
+        for i, L in enumerate(lens):
+            np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                       np.asarray(want)[i, :, :L],
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_prune_matches_noprune(self):
+        b, h, n, d = 1, 4, 512, 64
+        q, k, v = _rand((b, h, n, d), 44), _rand((b, h, n, d), 45), _rand((b, h, n, d), 46)
+        kv_lens = jnp.asarray([130], jnp.int32)
+        a = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        b_ = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, True)
+        np.testing.assert_allclose(np.asarray(a)[:, :, :130],
+                                   np.asarray(b_)[:, :, :130],
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_non_divisible_head_count_falls_back(self):
+        """folded H = 3 not divisible by 4 -> single-head kernel runs."""
+        b, h, n, d = 1, 3, 256, 64
+        q, k, v = _rand((b, h, n, d), 47), _rand((b, h, n, d), 48), _rand((b, h, n, d), 49)
+        kv_lens = jnp.asarray([200], jnp.int32)
+        got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+        want = fp._xla_prefix_attention(q, k, v, kv_lens)
+        np.testing.assert_allclose(np.asarray(got)[:, :, :200],
+                                   np.asarray(want)[:, :, :200],
+                                   atol=2e-5, rtol=2e-5)
