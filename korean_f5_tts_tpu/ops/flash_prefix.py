@@ -557,16 +557,15 @@ def _kernel_nomax(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
 
 def _kernel_nomax_hn(kvlen_ref, q_ref, k_ref, v_ref, o_ref, l_scr, acc_scr,
                      *, sm_scale: float, ck: int, prune: bool, nh: int):
-    """nh heads per instance (F5_TTS_FLASH_HEADS, default 2), static-max
-    softmax.
+    """nh heads per instance (resolve_flash_heads; default 8, VMEM-capped
+    by n), static-max softmax.
 
     The round-3 sweep closed every single-head direction; this is the last
     decomposition CLAUDE.md listed: nh independent per-head chains
     interleaved chunk-by-chunk, so head B's QK dot (MXU) can issue while
     head A's mask/exp2/sum pass (VPU) drains, instead of the units
-    alternating within one serial chain. Measured round 5 at nh=2 (same-run
-    headline-protocol A/B): bf16 0.02185 vs 0.02216, int8 0.01871 vs
-    0.01901. Inference-only, like _kernel_nomax.
+    alternating within one serial chain. Round-5 measured sweep lives in
+    resolve_flash_heads's docstring. Inference-only, like _kernel_nomax.
     """
     h = pl.program_id(0)
     dh = q_ref.shape[-1]
@@ -670,6 +669,40 @@ def _flash_prefix_folded_lse(q, k, v, kv_lens, sm_scale: float,
     )(kv_lens.astype(jnp.int32), q, k, v)
 
 
+def resolve_flash_heads(n: int) -> int:
+    """Heads per kernel instance for the static-max inference kernel.
+
+    Interleaved per-head chains let one head's QK/PV dots (MXU) issue while
+    another head's mask/exp2/sum pass (VPU) drains, instead of the units
+    alternating within a single serial chain. Round-5 sweep, same-run
+    headline-protocol in-model A/Bs at n=1536 (per-head math is identical
+    to the single-head kernel — same chunk plan, independent accumulators —
+    so the staticmax parity/quality claims carry over unchanged at any nh):
+
+      int8 weights: nh=1 0.01901 | nh=2 0.01871 | nh=4 0.01852 | nh=8 0.01836
+      bf16:         nh=1 0.02216 | nh=2 0.02185 | nh=4 0.02169 | nh=8 0.02154
+
+    nh=8 wins both modes -> default. The whole-head K/V blocks are
+    (nh, n, d) each and Mosaic double-buffers them, so the default is
+    capped to keep that footprint (nh*n*128*4 bytes at d=64 bf16) strictly
+    under 12 MB of the 16 MB VMEM scope (q/out/scratch ride on top): nh=8
+    up to n=2048, nh=4 to n=4096, nh=2 beyond (the headline n=1536 runs
+    nh=8 at ~6.3 MB).
+
+    F5_TTS_FLASH_HEADS overrides (1 disables, no VMEM cap applied — the
+    compile error names the exact footprint if you blow it);
+    F5_TTS_FLASH_HEADS2=0 is the legacy round-5 disable switch.
+    """
+    if "F5_TTS_FLASH_HEADS" in _os.environ:
+        return max(1, int(_os.environ["F5_TTS_FLASH_HEADS"]))
+    if _os.environ.get("F5_TTS_FLASH_HEADS2", "1") == "0":
+        return 1
+    nh = 8
+    while nh > 2 and nh * n * 128 * 4 >= 12 * 2**20:
+        nh //= 2
+    return nh
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "bq", "ck", "prune"))
 def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
                          bq: int = 256, ck: int = 512, prune: bool = True):
@@ -687,19 +720,7 @@ def _flash_prefix_folded(q, k, v, kv_lens, sm_scale: float,
     # softmax math, different f32 rounding). Grad contexts are unaffected
     # (the custom_vjp fwd routes through the lse-emitting online-max kernel).
     staticmax = _os.environ.get("F5_TTS_FLASH_STATICMAX", "1") != "0"
-    # multi-heads-per-instance (default 2 since round 5): interleaved
-    # per-head chains so the MXU and VPU work of different heads can
-    # overlap; staticmax-only. Same-run in-model A/B at the headline
-    # protocol (nh=2 vs 1): bf16 0.02185 vs 0.02216, int8 0.01871 vs
-    # 0.01901 (~1.5% both modes). Per-head math is identical to the
-    # single-head kernel (same chunk plan, independent accumulators), so
-    # the staticmax parity/quality claims carry over unchanged.
-    # F5_TTS_FLASH_HEADS overrides the chain count (1 disables);
-    # F5_TTS_FLASH_HEADS2=0 is the legacy disable switch.
-    if "F5_TTS_FLASH_HEADS" in _os.environ:
-        nh = max(1, int(_os.environ["F5_TTS_FLASH_HEADS"]))
-    else:
-        nh = 2 if _os.environ.get("F5_TTS_FLASH_HEADS2", "1") != "0" else 1
+    nh = resolve_flash_heads(n)
     if staticmax and nh > 1 and H % nh == 0:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -389,14 +389,11 @@ def mode_trained_flagship(steps_trained: int = 1000):
     # has one committed number measured under the configuration bench.py
     # actually runs (round-4 VERDICT item 1)
     staticmax = os.environ.get("F5_TTS_FLASH_STATICMAX", "1") != "0"
-    # mirror ops/flash_prefix._flash_prefix_folded's resolution exactly so
-    # the recorded stack matches what the kernel actually ran
-    if "F5_TTS_FLASH_HEADS" in os.environ:
-        heads_per = max(1, int(os.environ["F5_TTS_FLASH_HEADS"]))
-    else:
-        heads_per = 2 if os.environ.get("F5_TTS_FLASH_HEADS2", "1") != "0" else 1
-    if not staticmax:
-        heads_per = 1
+    # the kernel's own resolution, so the recorded stack matches what ran
+    # (the folded head count 2*heads divides nh=8 for the flagship, so the
+    # H % nh fallback does not engage at these shapes)
+    from korean_f5_tts_tpu.ops.flash_prefix import resolve_flash_heads
+    heads_per = resolve_flash_heads(n) if staticmax else 1
     int8_entry = entry["int8"]
     _merge({"flagship_trained_headline_mode": {
         "arch": entry["arch"], "n": n, "nfe": steps, "cond_len": cond_len,

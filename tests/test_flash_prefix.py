@@ -561,3 +561,41 @@ class TestHeadsNPerInstance:
         np.testing.assert_allclose(np.asarray(got)[:, :, :200],
                                    np.asarray(want)[:, :, :200],
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestHeadsDefaultResolution:
+    """Round-5 default: nh=8, VMEM-capped by n (resolve_flash_heads)."""
+
+    def test_default_is_eight_capped_by_n(self, monkeypatch):
+        monkeypatch.delenv("F5_TTS_FLASH_HEADS", raising=False)
+        monkeypatch.delenv("F5_TTS_FLASH_HEADS2", raising=False)
+        assert fp.resolve_flash_heads(512) == 8
+        assert fp.resolve_flash_heads(1536) == 8   # headline shape
+        assert fp.resolve_flash_heads(2048) == 8
+        assert fp.resolve_flash_heads(3072) == 4   # K/V db footprint > 12MB
+        assert fp.resolve_flash_heads(4096) == 4
+        assert fp.resolve_flash_heads(6144) == 2
+        monkeypatch.setenv("F5_TTS_FLASH_HEADS2", "0")
+        assert fp.resolve_flash_heads(512) == 1
+        monkeypatch.setenv("F5_TTS_FLASH_HEADS", "4")
+        assert fp.resolve_flash_heads(6144) == 4   # override skips the cap
+
+    @pytest.mark.parametrize("lens", [[100, 256], [256, 160]])
+    def test_nh8_matches_xla_reference(self, lens, monkeypatch):
+        """Default resolution (nh=8) on a folded H=16 -> two instances."""
+        monkeypatch.setenv("F5_TTS_FLASH_STATICMAX", "1")
+        monkeypatch.delenv("F5_TTS_FLASH_HEADS", raising=False)
+        monkeypatch.delenv("F5_TTS_FLASH_HEADS2", raising=False)
+        fp._flash_prefix_folded.clear_cache()
+        try:
+            b, h, n, d = 2, 8, 256, 64
+            q, k, v = _rand((b, h, n, d), 51), _rand((b, h, n, d), 52), _rand((b, h, n, d), 53)
+            kv_lens = jnp.asarray(lens, jnp.int32)
+            got = fp.flash_prefix_attention(q, k, v, kv_lens, 128, 128, False)
+            want = fp._xla_prefix_attention(q, k, v, kv_lens)
+            for i, L in enumerate(lens):
+                np.testing.assert_allclose(np.asarray(got)[i, :, :L],
+                                           np.asarray(want)[i, :, :L],
+                                           atol=2e-5, rtol=2e-5)
+        finally:
+            fp._flash_prefix_folded.clear_cache()
